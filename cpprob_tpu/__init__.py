@@ -1,0 +1,53 @@
+"""cpprob_tpu — a TPU-native probabilistic-programming inference framework.
+
+Brand-new implementation of the capabilities of lezcano/CPProb (reference
+blueprint in SURVEY.md): models are pure JAX functions written with the
+``sample`` / ``observe`` / ``predict`` idiom (``include/cpprob/cpprob.hpp``),
+and inference is massively vectorized importance sampling (SIS), SMC with
+distributed systematic resampling, inference compilation (CSIS) with an
+in-process LSTM proposal network, plus HMC/NUTS and SVI — all jit/vmap/pjit
+compiled for TPU.
+"""
+
+from . import distributions, models, postprocess
+from .core import (
+    factor,
+    handlers,
+    metaobserve,
+    observe,
+    predict,
+    rejection_sample,
+    rejection_sampling,
+    sample,
+)
+from .inference import (
+    ImportanceResult,
+    SMCResult,
+    StateSpaceModel,
+    sis,
+    smc,
+)
+from .postprocess import EmpiricalDistribution, StatsPrinter
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "sample",
+    "observe",
+    "predict",
+    "factor",
+    "metaobserve",
+    "rejection_sampling",
+    "rejection_sample",
+    "handlers",
+    "distributions",
+    "models",
+    "postprocess",
+    "sis",
+    "smc",
+    "ImportanceResult",
+    "SMCResult",
+    "StateSpaceModel",
+    "EmpiricalDistribution",
+    "StatsPrinter",
+]

@@ -1,0 +1,53 @@
+"""TPU-native distribution layer.
+
+Counterpart of the reference's ``include/cpprob/distributions/`` (Boost.Random
+adoptions + trait specializations + 7 custom classes) — here every distribution
+is a JAX pytree with batched ``sample`` / ``log_prob`` / ``cdf``.
+"""
+
+from .base import Distribution, dist_dataclass
+from .continuous import (
+    Beta,
+    Exponential,
+    Gamma,
+    Laplace,
+    MinMaxContinuous,
+    MultivariateNormalDiag,
+    Normal,
+    Uniform,
+)
+from .discrete import (
+    Bernoulli,
+    Categorical,
+    Discrete,
+    Flip,
+    MinMaxDiscrete,
+    Poisson,
+    UniformInt,
+)
+from .compound import ABC, Dirac, Mixture, Truncated, make_abc
+
+__all__ = [
+    "Distribution",
+    "dist_dataclass",
+    "Normal",
+    "Uniform",
+    "Beta",
+    "Gamma",
+    "Laplace",
+    "Exponential",
+    "MultivariateNormalDiag",
+    "MinMaxContinuous",
+    "Categorical",
+    "Discrete",
+    "UniformInt",
+    "Poisson",
+    "Bernoulli",
+    "Flip",
+    "MinMaxDiscrete",
+    "Mixture",
+    "Truncated",
+    "Dirac",
+    "ABC",
+    "make_abc",
+]

@@ -1,0 +1,318 @@
+"""Continuous distributions (TPU-native counterparts of the reference's
+Boost.Random adoption + trait layer, ``include/cpprob/distributions/utils_*.hpp``).
+
+All are batched pytree dataclasses: parameters may be scalars or arrays, and
+``sample``/``log_prob`` broadcast.  ``cdf`` is provided where the reference's
+``normalise`` trait needs it (truncation mass, cf. ``utils_normal_distribution.hpp:94-101``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp_special
+from jax.scipy.stats import beta as jsp_beta
+from jax.scipy.stats import gamma as jsp_gamma
+
+from .base import Distribution, dist_dataclass, promote_to_result_dtype
+
+__all__ = [
+    "Normal",
+    "Uniform",
+    "Beta",
+    "Gamma",
+    "Laplace",
+    "Exponential",
+    "MultivariateNormalDiag",
+    "MinMaxContinuous",
+]
+
+_HALF_LOG_2PI = 0.9189385332046727417803297364056176
+
+
+@dist_dataclass
+class Normal(Distribution):
+    """N(loc, scale).  scale==0 degenerates to a Dirac delta, matching the
+    reference's sigma=0 convention (``utils_normal_distribution.hpp:21-45``)."""
+
+    loc: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + scale * eps
+
+    def log_prob(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        # sigma == 0 => Dirac: 0 where x == loc else -inf
+        safe_scale = jnp.where(scale == 0, 1.0, scale)
+        z = (x - loc) / safe_scale
+        lp = -0.5 * z * z - jnp.log(safe_scale) - _HALF_LOG_2PI
+        dirac = jnp.where(x == loc, jnp.zeros_like(lp), -jnp.inf)
+        return jnp.where(scale == 0, dirac, lp)
+
+    def cdf(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        return jsp_special.ndtr((x - loc) / scale)
+
+    def icdf(self, u):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        return loc + scale * jsp_special.ndtri(jnp.asarray(u, loc.dtype))
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def variance(self):
+        s = jnp.asarray(self.scale)
+        return jnp.broadcast_to(s * s, self.batch_shape)
+
+
+@dist_dataclass
+class Uniform(Distribution):
+    """Uniform(low, high) on the half-open interval [low, high).
+
+    Counterpart of ``boost::random::uniform_real_distribution``
+    (``utils_uniform_real.hpp``).  Its CSIS proposal is a truncated mixture of
+    normals — see :mod:`cpprob_tpu.inference.csis`."""
+
+    low: jax.Array
+    high: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(low), jnp.shape(high))
+        u = jax.random.uniform(key, shape, dtype=low.dtype)
+        return low + (high - low) * u
+
+    def log_prob(self, x):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        x = jnp.asarray(x, low.dtype)
+        inside = (x >= low) & (x <= high)
+        lp = -jnp.log(high - low)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def cdf(self, x):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        x = jnp.asarray(x, low.dtype)
+        return jnp.clip((x - low) / (high - low), 0.0, 1.0)
+
+    def icdf(self, u):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        return low + (high - low) * jnp.asarray(u, low.dtype)
+
+    @property
+    def mean(self):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        return jnp.broadcast_to(0.5 * (low + high), self.batch_shape)
+
+    @property
+    def variance(self):
+        low, high = promote_to_result_dtype(self.low, self.high)
+        d = high - low
+        return jnp.broadcast_to(d * d / 12.0, self.batch_shape)
+
+
+@dist_dataclass
+class Beta(Distribution):
+    alpha: jax.Array
+    beta: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        a, b = promote_to_result_dtype(self.alpha, self.beta)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+        return jax.random.beta(key, a, b, shape=shape, dtype=a.dtype)
+
+    def log_prob(self, x):
+        a, b = promote_to_result_dtype(self.alpha, self.beta)
+        return jsp_beta.logpdf(jnp.asarray(x, a.dtype), a, b)
+
+    def cdf(self, x):
+        a, b = promote_to_result_dtype(self.alpha, self.beta)
+        return jsp_special.betainc(a, b, jnp.clip(jnp.asarray(x, a.dtype), 0.0, 1.0))
+
+    @property
+    def mean(self):
+        a, b = promote_to_result_dtype(self.alpha, self.beta)
+        return jnp.broadcast_to(a / (a + b), self.batch_shape)
+
+    @property
+    def variance(self):
+        a, b = promote_to_result_dtype(self.alpha, self.beta)
+        s = a + b
+        return jnp.broadcast_to(a * b / (s * s * (s + 1)), self.batch_shape)
+
+
+@dist_dataclass
+class Gamma(Distribution):
+    """Gamma(shape=concentration, scale).  Boost parameterizes by (alpha, beta=scale)."""
+
+    concentration: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        a, scale = promote_to_result_dtype(self.concentration, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(a), jnp.shape(scale))
+        return jax.random.gamma(key, a, shape=shape, dtype=a.dtype) * scale
+
+    def log_prob(self, x):
+        a, scale = promote_to_result_dtype(self.concentration, self.scale)
+        return jsp_gamma.logpdf(jnp.asarray(x, a.dtype), a, scale=scale)
+
+    def cdf(self, x):
+        a, scale = promote_to_result_dtype(self.concentration, self.scale)
+        x = jnp.asarray(x, a.dtype)
+        return jsp_special.gammainc(a, jnp.maximum(x, 0.0) / scale)
+
+    @property
+    def mean(self):
+        a, scale = promote_to_result_dtype(self.concentration, self.scale)
+        return jnp.broadcast_to(a * scale, self.batch_shape)
+
+    @property
+    def variance(self):
+        a, scale = promote_to_result_dtype(self.concentration, self.scale)
+        return jnp.broadcast_to(a * scale * scale, self.batch_shape)
+
+
+@dist_dataclass
+class Laplace(Distribution):
+    loc: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
+        eps = jax.random.laplace(key, shape, dtype=loc.dtype)
+        return loc + scale * eps
+
+    def log_prob(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        return -jnp.abs(x - loc) / scale - jnp.log(2.0 * scale)
+
+    def cdf(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        z = (x - loc) / scale
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def variance(self):
+        s = jnp.asarray(self.scale)
+        return jnp.broadcast_to(2.0 * s * s, self.batch_shape)
+
+
+@dist_dataclass
+class Exponential(Distribution):
+    rate: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        (rate,) = promote_to_result_dtype(self.rate)
+        shape = sample_shape + jnp.shape(rate)
+        return jax.random.exponential(key, shape, dtype=rate.dtype) / rate
+
+    def log_prob(self, x):
+        (rate,) = promote_to_result_dtype(self.rate)
+        x = jnp.asarray(x, rate.dtype)
+        return jnp.where(x >= 0, jnp.log(rate) - rate * x, -jnp.inf)
+
+    def cdf(self, x):
+        (rate,) = promote_to_result_dtype(self.rate)
+        x = jnp.asarray(x, rate.dtype)
+        return jnp.where(x >= 0, 1.0 - jnp.exp(-rate * x), 0.0)
+
+    @property
+    def mean(self):
+        (rate,) = promote_to_result_dtype(self.rate)
+        return 1.0 / rate
+
+    @property
+    def variance(self):
+        (rate,) = promote_to_result_dtype(self.rate)
+        return 1.0 / (rate * rate)
+
+
+@dist_dataclass
+class MultivariateNormalDiag(Distribution):
+    """Diagonal-covariance MVN — the reference's ``multivariate_normal_distribution``
+    is exactly a vector of independent normals plus a shape
+    (``include/cpprob/distributions/multivariate_normal.hpp``)."""
+
+    loc: jax.Array    # (..., d)
+    scale: jax.Array  # (..., d) or scalar
+
+    event_ndim = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    def sample(self, key, sample_shape=()):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(jnp.broadcast_to(scale, jnp.shape(loc))))
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + scale * eps
+
+    def log_prob(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        scale_b = jnp.broadcast_to(scale, jnp.shape(loc))
+        z = (x - loc) / scale_b
+        per_dim = -0.5 * z * z - jnp.log(scale_b) - _HALF_LOG_2PI
+        return jnp.sum(per_dim, axis=-1)
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.loc)
+
+    @property
+    def variance(self):
+        s = jnp.broadcast_to(jnp.asarray(self.scale), jnp.shape(self.loc))
+        return s * s
+
+
+@dist_dataclass
+class MinMaxContinuous(Distribution):
+    """Beta distribution reparameterized by (min, max, mode, certainty) —
+    counterpart of the reference's (deprecated) ``min_max_continuous_distribution``
+    (``min_max_continuous.hpp``): alpha = mode_01*(k-2)+1, beta = (1-mode_01)*(k-2)+1,
+    scaled from [0,1] to [min,max]."""
+
+    low: jax.Array
+    high: jax.Array
+    mode: jax.Array
+    certainty: jax.Array  # k > 2
+
+    def _ab(self):
+        low, high, mode, k = promote_to_result_dtype(self.low, self.high, self.mode, self.certainty)
+        m01 = (mode - low) / (high - low)
+        alpha = m01 * (k - 2.0) + 1.0
+        beta = (1.0 - m01) * (k - 2.0) + 1.0
+        return low, high, alpha, beta
+
+    def sample(self, key, sample_shape=()):
+        low, high, alpha, beta = self._ab()
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(alpha), jnp.shape(beta))
+        x01 = jax.random.beta(key, alpha, beta, shape=shape, dtype=alpha.dtype)
+        return low + (high - low) * x01
+
+    def log_prob(self, x):
+        low, high, alpha, beta = self._ab()
+        x = jnp.asarray(x, alpha.dtype)
+        x01 = (x - low) / (high - low)
+        return jsp_beta.logpdf(x01, alpha, beta) - jnp.log(high - low)
+
+    @property
+    def mean(self):
+        low, high, alpha, beta = self._ab()
+        return low + (high - low) * alpha / (alpha + beta)

@@ -1,0 +1,162 @@
+"""Sequential importance sampling (SIS), vectorized.
+
+The reference runs one trace at a time in a serial loop
+(``cpprob.hpp:194-201``); here the particle dimension is a ``vmap`` batch axis
+inside one jitted program — a million particles is one XLA launch, and the
+same program shards over a device mesh (see :mod:`cpprob_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import handlers
+
+__all__ = ["make_particle_fn", "make_prior_fn", "sis", "ImportanceResult"]
+
+
+def make_particle_fn(
+    model: Callable,
+    args: Tuple = (),
+    kwargs: Optional[dict] = None,
+    proposal_messenger: Optional[Callable[[], Any]] = None,
+):
+    """Build ``particle(key) -> (log_weight, predicts)``: one weighted model
+    execution (the body of the reference's hot loop, ``cpprob.hpp:194-201``,
+    now a pure function to be vmapped over particles).
+
+    ``proposal_messenger``: zero-arg factory returning a messenger that guides
+    sample sites (CSIS); ``None`` = prior proposal (plain SIS).
+    """
+    kwargs = kwargs or {}
+
+    def particle(key):
+        lw = handlers.LogWeight()
+        pc = handlers.PredictCollector()
+        ctx = [handlers.Seed(key), lw, pc]
+        if proposal_messenger is not None:
+            ctx.append(proposal_messenger())
+        with _nested(ctx):
+            model(*args, **kwargs)
+        return lw.log_weight, pc.stacked()
+
+    return particle
+
+
+def make_prior_fn(model: Callable, args: Tuple = (), kwargs: Optional[dict] = None):
+    """Build ``prior(key) -> trace dict`` running the model in compile mode:
+    observes are *simulated* (``cpprob.hpp:83-85``) and every site recorded —
+    the trace-generation half of inference compilation (§3.2 of SURVEY.md)."""
+    kwargs = kwargs or {}
+
+    def prior(key):
+        tr = handlers.TraceHandler()
+        with _nested([handlers.Seed(key), handlers.SimulateObserves(), tr]):
+            model(*args, **kwargs)
+        return {
+            name: {"value": site["value"], "type": site["type"]}
+            for name, site in tr.trace.items()
+        }
+
+    return prior
+
+
+class _nested:
+    def __init__(self, ctxs):
+        self.ctxs = ctxs
+
+    def __enter__(self):
+        for c in self.ctxs:
+            c.__enter__()
+
+    def __exit__(self, *exc):
+        for c in reversed(self.ctxs):
+            c.__exit__(*exc)
+        return False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ImportanceResult:
+    """Particles + log-weights — the in-memory counterpart of the reference's
+    dumped posterior files (``state.cpp:250-267``)."""
+
+    log_weights: jax.Array              # (n,)
+    predicts: Dict[str, jax.Array]      # name -> (n, ...) stacked predict values
+
+    @property
+    def num_particles(self) -> int:
+        return self.log_weights.shape[0]
+
+    @property
+    def normalized_weights(self) -> jax.Array:
+        return jax.nn.softmax(self.log_weights)
+
+    @property
+    def log_evidence(self) -> jax.Array:
+        """log(1/N sum w_i) — the marginal-likelihood estimate."""
+        n = self.log_weights.shape[0]
+        return jax.scipy.special.logsumexp(self.log_weights) - jnp.log(float(n))
+
+    @property
+    def ess(self) -> jax.Array:
+        """Kish effective sample size 1 / sum(w_i^2)."""
+        lw = self.log_weights - jax.scipy.special.logsumexp(self.log_weights)
+        return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
+
+    def empirical(self, name: str):
+        from ..postprocess import EmpiricalDistribution
+
+        return EmpiricalDistribution(self.predicts[name], self.log_weights)
+
+    def mean(self, name: str) -> jax.Array:
+        return self.empirical(name).mean
+
+    def variance(self, name: str) -> jax.Array:
+        return self.empirical(name).variance
+
+
+def sis(
+    model: Callable,
+    args: Tuple,
+    n_particles: int,
+    key: jax.Array,
+    *,
+    proposal_messenger: Optional[Callable[[], Any]] = None,
+    batch_size: Optional[int] = None,
+    jit: bool = True,
+) -> ImportanceResult:
+    """Vectorized SIS: counterpart of
+    ``cpprob::inference(StateType::sis, f, observes, n)`` (``cpprob.hpp:173-203``).
+
+    ``batch_size`` bounds peak memory: particles run in ``n // batch_size``
+    sequential super-steps of ``batch_size`` vmapped lanes (``lax.map`` over a
+    reshaped key array), which keeps arbitrarily large particle counts inside
+    fixed HBM.
+    """
+    particle = make_particle_fn(model, args, proposal_messenger=proposal_messenger)
+
+    def run(key):
+        keys = jax.random.split(key, n_particles)
+        if batch_size is None or batch_size >= n_particles:
+            log_w, predicts = jax.vmap(particle)(keys)
+        else:
+            if n_particles % batch_size != 0:
+                raise ValueError("n_particles must be divisible by batch_size")
+            keys = keys.reshape(n_particles // batch_size, batch_size, *keys.shape[1:])
+            log_w, predicts = jax.lax.map(jax.vmap(particle), keys)
+            log_w = log_w.reshape(n_particles)
+            predicts = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_particles,) + x.shape[2:]), predicts
+            )
+        return log_w, predicts
+
+    if jit:
+        run = jax.jit(run)
+    log_w, predicts = run(key)
+    return ImportanceResult(log_w, predicts)

@@ -1,0 +1,206 @@
+"""Sequential Monte Carlo with ESS-triggered systematic resampling.
+
+NEW capability relative to the reference: "CPProb does not implement SMC yet"
+(thesis ch. 6.3; SURVEY.md §6) — the thesis ran its SMC comparison in Anglican.
+Design is TPU-first:
+
+- particles are a ``vmap`` axis; time is a ``lax.scan``;
+- resample-or-not is data-dependent => ``lax.cond`` over gather-vs-identity
+  (both branches shape-static, SURVEY.md §7 'hard parts');
+- per-step weight updates and the resampling inverse-CDF are O(N) vectorized;
+- the multi-device version shards the particle axis over a mesh
+  (:mod:`cpprob_tpu.parallel.smc`).
+
+Models enter through the :class:`StateSpaceModel` protocol (init/step/observe
+log-densities) — the sequential decomposition the reference's trace-at-a-time
+design cannot express.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp_special
+
+from .resampling import ess as _ess
+from .resampling import get_resampler
+
+__all__ = ["StateSpaceModel", "SMCResult", "smc", "make_smc_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StateSpaceModel:
+    """Sequential model protocol for SMC.
+
+    ``init_sample(key) -> state`` and ``step_sample(key, state, t) -> state``
+    draw from the prior/transition (the SMC proposal by default);
+    ``*_logpdf`` evaluate the corresponding densities; ``obs_logpdf(state, y, t)``
+    is the emission density.  All callables must be JAX-traceable and operate
+    on a *single* particle — the engine vmaps them.
+
+    Optional ``proposal_sample`` / ``proposal_logpdf`` (signature like
+    ``step_sample`` plus the current observation) switch SMC to guided mode.
+    """
+
+    init_sample: Callable
+    init_logpdf: Callable
+    step_sample: Callable
+    step_logpdf: Callable
+    obs_logpdf: Callable
+    proposal_sample: Optional[Callable] = None
+    proposal_logpdf: Optional[Callable] = None
+    init_proposal_sample: Optional[Callable] = None
+    init_proposal_logpdf: Optional[Callable] = None
+
+
+class SMCResult(NamedTuple):
+    """Filtering history + evidence estimate."""
+
+    states: jax.Array          # (T, N, ...) particles after propagation at each t
+    log_weights: jax.Array     # (T, N) unnormalized log-weights at each t
+    ancestors: jax.Array       # (T, N) ancestor indices used at each t (identity when no resample)
+    resampled: jax.Array       # (T,) bool, whether resampling triggered
+    log_evidence: jax.Array    # scalar log Z estimate
+    final_states: jax.Array    # (N, ...)
+    final_log_weights: jax.Array  # (N,)
+
+    def filtered_mean(self, fn=lambda s: s):
+        """E[fn(z_t) | y_{1:t}] per timestep from the stored history."""
+        vals = jax.vmap(jax.vmap(fn))(self.states)  # (T, N, ...)
+        lw = self.log_weights - jsp_special.logsumexp(
+            self.log_weights, axis=1, keepdims=True
+        )
+        w = jnp.exp(lw)
+        extra = vals.ndim - 2
+        w = w.reshape(w.shape + (1,) * extra)
+        return jnp.sum(w * vals, axis=1)
+
+
+def _log_mean_exp(lw, axis=None):
+    n = lw.shape[axis] if axis is not None else lw.size
+    return jsp_special.logsumexp(lw, axis=axis) - jnp.log(float(n))
+
+
+def make_smc_step(
+    model: StateSpaceModel,
+    n_particles: int,
+    ess_threshold: float,
+    resampler: Callable,
+):
+    """Build the scan body: (key, states, log_w, log_Z), y_t -> advanced carry.
+
+    Resampling first (adaptive, on the incoming weights), then propagation and
+    reweighting — the standard SMC sweep.  Both ``lax.cond`` branches are
+    shape-static; the no-resample branch performs an identity gather so the
+    compiled program has one code path.
+    """
+    guided = model.proposal_sample is not None
+
+    def step(carry, y_t_and_t):
+        y_t, t = y_t_and_t
+        key, states, log_w, log_z = carry
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        do_resample = _ess(log_w) < ess_threshold * n_particles
+
+        def resample_branch(_):
+            anc = resampler(k_res, log_w)
+            new_states = jax.tree_util.tree_map(lambda s: s[anc], states)
+            new_log_z = log_z + _log_mean_exp(log_w)
+            return new_states, jnp.zeros_like(log_w), new_log_z, anc
+
+        def keep_branch(_):
+            anc = jnp.arange(n_particles, dtype=jnp.int32)
+            return states, log_w, log_z, anc
+
+        states_r, log_w_r, log_z_r, anc = jax.lax.cond(
+            do_resample, resample_branch, keep_branch, operand=None
+        )
+
+        prop_keys = jax.random.split(k_prop, n_particles)
+        if guided:
+            new_states = jax.vmap(
+                lambda k, s: model.proposal_sample(k, s, t, y_t)
+            )(prop_keys, states_r)
+            rn = jax.vmap(
+                lambda ns, s: model.step_logpdf(ns, s, t)
+                - model.proposal_logpdf(ns, s, t, y_t)
+            )(new_states, states_r)
+        else:
+            new_states = jax.vmap(lambda k, s: model.step_sample(k, s, t))(
+                prop_keys, states_r
+            )
+            rn = jnp.zeros_like(log_w_r)
+
+        obs_lp = jax.vmap(lambda s: model.obs_logpdf(s, y_t, t))(new_states)
+        new_log_w = log_w_r + rn + obs_lp
+
+        return (key, new_states, new_log_w, log_z_r), (
+            new_states,
+            new_log_w,
+            anc,
+            do_resample,
+        )
+
+    return step
+
+
+def smc(
+    model: StateSpaceModel,
+    observations: jax.Array,
+    n_particles: int,
+    key: jax.Array,
+    *,
+    ess_threshold: float = 0.5,
+    resampling: str = "systematic",
+    jit: bool = True,
+) -> SMCResult:
+    """Run SMC over ``observations`` of shape (T, ...).
+
+    Evidence: log Z = sum over resampling epochs of log-mean-exp of the
+    accumulated weights (the standard unbiased SMC estimator).
+    """
+    resampler = get_resampler(resampling)
+    step = make_smc_step(model, n_particles, ess_threshold, resampler)
+
+    def run(key):
+        key, k_init, k_obs0 = jax.random.split(key, 3)
+        init_keys = jax.random.split(k_init, n_particles)
+        if model.init_proposal_sample is not None:
+            states0 = jax.vmap(
+                lambda k: model.init_proposal_sample(k, observations[0])
+            )(init_keys)
+            rn0 = jax.vmap(
+                lambda s: model.init_logpdf(s)
+                - model.init_proposal_logpdf(s, observations[0])
+            )(states0)
+        else:
+            states0 = jax.vmap(model.init_sample)(init_keys)
+            rn0 = jnp.zeros((n_particles,))
+        log_w0 = rn0 + jax.vmap(
+            lambda s: model.obs_logpdf(s, observations[0], 0)
+        )(states0)
+
+        ts = jnp.arange(1, observations.shape[0])
+        carry0 = (key, states0, log_w0, jnp.zeros(()))
+        (key_f, states_f, log_w_f, log_z), (hist_s, hist_w, hist_a, hist_r) = (
+            jax.lax.scan(step, carry0, (observations[1:], ts))
+        )
+        log_z = log_z + _log_mean_exp(log_w_f)
+
+        states = jnp.concatenate([states0[None], hist_s], axis=0)
+        log_ws = jnp.concatenate([log_w0[None], hist_w], axis=0)
+        anc = jnp.concatenate(
+            [jnp.arange(n_particles, dtype=jnp.int32)[None], hist_a], axis=0
+        )
+        resampled = jnp.concatenate([jnp.zeros((1,), bool), hist_r], axis=0)
+        return SMCResult(
+            states, log_ws, anc, resampled, log_z, states_f, log_w_f
+        )
+
+    if jit:
+        run = jax.jit(run)
+    return run(key)

@@ -1,0 +1,121 @@
+"""3-state HMM with Gaussian emissions — counterpart of
+``include/models/models.hpp:114-141`` (means (-1, 0, 1), fixed transition
+matrix, uniform initial state; N=10 in the reference CLI, 16 in the thesis).
+
+Two formulations of the *same* generative model:
+
+- :func:`hmm` — trace form (Python loop over time at trace time), usable by
+  SIS/CSIS exactly like the reference model function.
+- :data:`hmm_ssm` — :class:`~cpprob_tpu.inference.smc.StateSpaceModel` form
+  (init/step), the TPU-native sequential decomposition SMC needs for per-step
+  resampling (the reference has no SMC; thesis ch. 6.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import observe, predict, sample
+from ..distributions import Categorical, Normal, UniformInt
+from ..inference.smc import StateSpaceModel
+
+__all__ = ["HMM_MEANS", "HMM_TRANS", "hmm", "hmm_ssm", "hmm_exact_posterior"]
+
+# numpy (not jnp) so importing the library never initializes a JAX backend
+HMM_MEANS = np.array([-1.0, 0.0, 1.0], np.float32)
+HMM_TRANS = np.array(
+    [
+        [0.10, 0.50, 0.40],
+        [0.20, 0.20, 0.60],
+        [0.15, 0.15, 0.70],
+    ],
+    np.float32,
+)
+
+
+def hmm(observations):
+    """Trace-form HMM: the time loop unrolls at trace time (static length),
+    addresses are per-step (``z[t]``) — the structured replacement of the
+    reference's backtrace-distinct per-step addresses (``models.hpp:126-140``)."""
+    observations = jnp.asarray(observations)
+    T = observations.shape[0]
+    means = jnp.asarray(HMM_MEANS)
+    trans = jnp.asarray(HMM_TRANS)
+    state = sample(UniformInt(0, 2), addr="z[0]")
+    predict(state, "State")
+    observe(Normal(means[state], 1.0), observations[0], addr="y[0]")
+    for t in range(1, T):
+        state = sample(Categorical(trans[state]), addr=f"z[{t}]")
+        predict(state, "State")
+        observe(Normal(means[state], 1.0), observations[t], addr=f"y[{t}]")
+    return state
+
+
+def _hmm_init(key):
+    state = jax.random.randint(key, (), 0, 3)
+    return state
+
+
+def _hmm_init_logpdf(state):
+    return jnp.full((), -jnp.log(3.0))
+
+
+def _hmm_step_sample(key, state, t):
+    logits = jnp.log(jnp.asarray(HMM_TRANS))[state]
+    return jax.random.categorical(key, logits)
+
+
+def _hmm_step_logpdf(new_state, state, t):
+    return jnp.log(jnp.asarray(HMM_TRANS))[state, new_state]
+
+
+def _hmm_obs_logpdf(state, y, t):
+    mean = jnp.asarray(HMM_MEANS)[state]
+    return Normal(mean, 1.0).log_prob(y)
+
+
+hmm_ssm = StateSpaceModel(
+    init_sample=_hmm_init,
+    init_logpdf=_hmm_init_logpdf,
+    step_sample=_hmm_step_sample,
+    step_logpdf=_hmm_step_logpdf,
+    obs_logpdf=_hmm_obs_logpdf,
+    # t=0 emission uses the same obs_logpdf
+)
+
+
+def hmm_exact_posterior(observations):
+    """Exact filtered/smoothed marginals via forward-backward (for tests;
+    the thesis validates against the true posterior the same way, ch. 6.3).
+
+    Returns (T, 3) smoothed posterior marginals p(z_t | y_{1:T}).
+    """
+    observations = jnp.asarray(observations)
+    T = observations.shape[0]
+    emis = jax.vmap(
+        lambda y: jax.vmap(lambda m: jnp.exp(Normal(m, 1.0).log_prob(y)))(HMM_MEANS)
+    )(observations)  # (T, 3)
+
+    init = jnp.full((3,), 1.0 / 3.0)
+
+    def fwd_step(alpha, e):
+        a = (alpha @ HMM_TRANS) * e
+        return a / jnp.sum(a), a / jnp.sum(a)
+
+    alpha0 = init * emis[0]
+    alpha0 = alpha0 / jnp.sum(alpha0)
+    _, alphas_rest = jax.lax.scan(fwd_step, alpha0, emis[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+
+    def bwd_step(beta, e):
+        b = HMM_TRANS @ (e * beta)
+        return b / jnp.max(b), b / jnp.max(b)
+
+    betaT = jnp.ones((3,))
+    _, betas_rev = jax.lax.scan(bwd_step, betaT, emis[1:][::-1])
+    betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
+
+    post = alphas * betas
+    return post / jnp.sum(post, axis=1, keepdims=True)

@@ -1,0 +1,35 @@
+"""Multi-device (mesh) execution: sharded SIS/SMC + distributed resampling.
+
+The reference's only 'distributed' machinery is a two-process ZeroMQ pipeline
+(SURVEY.md §2.7); here everything is XLA collectives over a
+``jax.sharding.Mesh``.
+"""
+
+from .mesh import (
+    PARTICLE_AXIS,
+    particle_mesh,
+    particle_sharding,
+    replicated_sharding,
+)
+from .resampling import (
+    global_ess,
+    global_log_mean_exp,
+    local_systematic_ancestors,
+    sharded_systematic_ancestors,
+)
+from .sis import sis_sharded
+from .smc import ShardedSMCResult, smc_sharded
+
+__all__ = [
+    "PARTICLE_AXIS",
+    "particle_mesh",
+    "particle_sharding",
+    "replicated_sharding",
+    "sis_sharded",
+    "smc_sharded",
+    "ShardedSMCResult",
+    "global_ess",
+    "global_log_mean_exp",
+    "sharded_systematic_ancestors",
+    "local_systematic_ancestors",
+]

@@ -1,0 +1,176 @@
+"""Mesh-sharded SMC: particles sharded over the mesh, time as ``lax.scan``,
+resampling via collectives — the TPU-native replacement for the reference's
+nonexistent distributed story (SURVEY.md §2.7) and the core of the BASELINE
+north-star (≥10M particles/s/chip, ≥85% weak scaling).
+
+The whole sweep is ONE ``shard_map``-ped, jitted program: XLA sees per-chip
+kernels with explicit ``psum``/``all_gather``/``pmax`` collectives only at the
+ESS check and at (rare, ESS-triggered) resampling epochs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..inference.smc import StateSpaceModel
+from .mesh import PARTICLE_AXIS, particle_mesh
+from .resampling import (
+    global_ess,
+    global_log_mean_exp,
+    local_systematic_ancestors,
+    sharded_systematic_ancestors,
+)
+
+__all__ = ["ShardedSMCResult", "smc_sharded"]
+
+
+class ShardedSMCResult(NamedTuple):
+    final_states: jax.Array      # (N, ...) sharded over particles
+    final_log_weights: jax.Array  # (N,) sharded
+    log_evidence: jax.Array      # scalar (replicated)
+    ess_history: jax.Array       # (T,) global ESS before each step
+    resampled: jax.Array         # (T,) bool
+    tracked: Optional[jax.Array]  # (T, ...) weighted means of track_fn, or None
+
+
+def smc_sharded(
+    model: StateSpaceModel,
+    observations: jax.Array,
+    n_particles: int,
+    key: jax.Array,
+    *,
+    mesh: Optional[Mesh] = None,
+    ess_threshold: float = 0.5,
+    scheme: str = "collective",
+    track_fn: Optional[Callable] = None,
+) -> ShardedSMCResult:
+    """Run SMC with the particle axis sharded over ``mesh``.
+
+    ``scheme='collective'``: exact global systematic resampling (all-gather of
+    the weight CDF + ancestor states).  ``scheme='island'``: shard-local
+    resampling, island weights carried in the particle weights — zero data
+    motion, scalar collectives only.
+    """
+    mesh = mesh or particle_mesh()
+    n_dev = mesh.size
+    if n_particles % n_dev != 0:
+        raise ValueError(f"n_particles must divide by mesh size {n_dev}")
+    n_local = n_particles // n_dev
+    if scheme not in ("collective", "island"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+    T = observations.shape[0]
+
+    def shard_body(key_rep, obs):
+        axis = PARTICLE_AXIS
+        my = jax.lax.axis_index(axis)
+
+        def local_keys(tag):
+            k = jax.random.fold_in(key_rep, tag)
+            k = jax.random.fold_in(k, my)
+            return jax.random.split(k, n_local)
+
+        # --- init (t = 0) ---
+        init_keys = local_keys(0)
+        states = jax.vmap(model.init_sample)(init_keys)
+        log_w = jax.vmap(lambda s: model.obs_logpdf(s, obs[0], 0))(states)
+
+        def resample(t, states, log_w, log_z):
+            u_key = jax.random.fold_in(key_rep, 1_000_000 + 7)
+            u0 = jax.random.uniform(jax.random.fold_in(u_key, t), ())
+            if scheme == "collective":
+                anc = sharded_systematic_ancestors(u0, log_w, axis)
+                all_states = jax.tree_util.tree_map(
+                    lambda s: jax.lax.all_gather(s, axis).reshape(
+                        (n_particles,) + s.shape[1:]
+                    ),
+                    states,
+                )
+                new_states = jax.tree_util.tree_map(
+                    lambda s: s[anc], all_states
+                )
+                new_log_z = log_z + global_log_mean_exp(log_w, axis)
+                return new_states, jnp.zeros_like(log_w), new_log_z
+            else:  # island
+                anc = local_systematic_ancestors(u0, log_w, axis)
+                new_states = jax.tree_util.tree_map(lambda s: s[anc], states)
+                m = jnp.max(log_w)
+                island_lw = m + jnp.log(jnp.mean(jnp.exp(log_w - m)))
+                return new_states, jnp.full_like(log_w, island_lw), log_z
+
+        def step(carry, y_and_t):
+            y_t, t = y_and_t
+            states, log_w, log_z = carry
+
+            ess = global_ess(log_w, axis)
+            do_resample = ess < ess_threshold * n_particles
+
+            states_r, log_w_r, log_z_r = jax.lax.cond(
+                do_resample,
+                lambda _: resample(t, states, log_w, log_z),
+                lambda _: (states, log_w, log_z),
+                operand=None,
+            )
+
+            prop_keys = jax.vmap(
+                lambda i: jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(key_rep, 2_000_000), t),
+                    my * n_local + i,
+                )
+            )(jnp.arange(n_local))
+            new_states = jax.vmap(lambda k, s: model.step_sample(k, s, t))(
+                prop_keys, states_r
+            )
+            new_log_w = log_w_r + jax.vmap(
+                lambda s: model.obs_logpdf(s, y_t, t)
+            )(new_states)
+
+            tracked = None
+            if track_fn is not None:
+                vals = jax.vmap(track_fn)(new_states)
+                m = jax.lax.pmax(jnp.max(new_log_w), axis)
+                w = jnp.exp(new_log_w - m)
+                num = jax.lax.psum(jnp.sum(w * vals), axis)
+                den = jax.lax.psum(jnp.sum(w), axis)
+                tracked = num / den
+
+            return (new_states, new_log_w, log_z_r), (ess, do_resample, tracked)
+
+        ts = jnp.arange(1, T)
+        (states_f, log_w_f, log_z), (ess_h, res_h, tracked_h) = jax.lax.scan(
+            step, (states, log_w, jnp.zeros(())), (obs[1:], ts)
+        )
+        log_z = log_z + global_log_mean_exp(log_w_f, axis)
+        return states_f, log_w_f, log_z, ess_h, res_h, tracked_h
+
+    out_specs = (
+        P(PARTICLE_AXIS),  # final states
+        P(PARTICLE_AXIS),  # final log weights
+        P(),               # log evidence (replicated)
+        P(),               # ess history
+        P(),               # resampled flags
+        P(),               # tracked means
+    )
+    if track_fn is None:
+        # scan carries None through; drop from outputs
+        def wrapper(key_rep, obs):
+            s, w, z, e, r, _ = shard_body(key_rep, obs)
+            return s, w, z, e, r
+        mapped = jax.shard_map(
+            wrapper, mesh=mesh, in_specs=(P(), P()), out_specs=out_specs[:5],
+            check_vma=False,
+        )
+        run = jax.jit(mapped)
+        s, w, z, e, r = run(key, observations)
+        return ShardedSMCResult(s, w, z, e, r, None)
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=out_specs,
+        check_vma=False,
+    )
+    run = jax.jit(mapped)
+    s, w, z, e, r, tr = run(key, observations)
+    return ShardedSMCResult(s, w, z, e, r, tr)
