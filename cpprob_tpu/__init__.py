@@ -21,11 +21,14 @@ from .core import (
     sample,
 )
 from .inference import (
+    CSIS,
     ImportanceResult,
     SMCResult,
     StateSpaceModel,
+    hmc,
     sis,
     smc,
+    svi,
 )
 from .postprocess import EmpiricalDistribution, StatsPrinter
 
@@ -45,6 +48,9 @@ __all__ = [
     "postprocess",
     "sis",
     "smc",
+    "CSIS",
+    "hmc",
+    "svi",
     "ImportanceResult",
     "SMCResult",
     "StateSpaceModel",

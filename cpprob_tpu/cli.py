@@ -1,0 +1,216 @@
+"""Command-line driver — counterpart of the reference's
+``src/main.cpp`` (boost::program_options CLI: model registry, modes
+``--compile/--csis/--sis/--dryrun/--estimate``, observes from string or file,
+posterior dump, batch counts; ``main.cpp:116-239``) and ``infcomp/main.py``.
+
+Usage examples (mirroring the reference README):
+
+    python -m cpprob_tpu.cli --model gaussian -m sis -n 10000 -o "3.0 4.0"
+    python -m cpprob_tpu.cli --model hmm -m compile --steps 500 --ckpt-dir /tmp/nn
+    python -m cpprob_tpu.cli --model hmm -m csis -n 10000 \
+        -o "[0.9 0.8 0.7 0.0 -0.025 -5.0 -2.0 -0.1 0.0 0.13]" --ckpt-dir /tmp/nn
+    python -m cpprob_tpu.cli --model gaussian -m estimate --dump-path posterior
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+
+def _registry() -> Dict[str, dict]:
+    """Model registry — counterpart of main.cpp's model tuple (7 models)."""
+    import jax.numpy as jnp
+
+    from . import models as M
+
+    return {
+        "gaussian": {
+            "fn": M.gaussian_unknown_mean_readme,
+            "template": (0.0, 0.0),
+            "doc": "conjugate Gaussian unknown mean (README variant)",
+        },
+        "gaussian_models_hpp": {
+            "fn": M.gaussian_unknown_mean,
+            "template": (0.0, 0.0),
+            "doc": "conjugate Gaussian unknown mean (models.hpp variant)",
+        },
+        "gaussian_2d": {
+            "fn": M.gaussian_2d_unknown_mean,
+            "template": (jnp.zeros(2),),
+            "doc": "2-d diagonal-MVN unknown mean",
+        },
+        "linear_gaussian": {
+            "fn": M.linear_gaussian_1d,
+            "template": (jnp.zeros(50),),
+            "doc": "linear-Gaussian state-space model (N=50)",
+        },
+        "hmm": {
+            "fn": M.hmm,
+            "template": (jnp.zeros(10),),
+            "doc": "3-state HMM, Gaussian emissions (N=10)",
+        },
+        "normal_rejection": {
+            "fn": M.normal_rejection_sampling,
+            "template": (0.0, 0.0),
+            "doc": "normal prior via rejection sampling",
+        },
+        "poly_adjustment": {
+            "fn": lambda pts: M.poly_adjustment(pts, degree=1),
+            "template": (jnp.zeros((6, 2)),),
+            "doc": "polynomial (deg 1) regression",
+        },
+        "linear_regression": {
+            "fn": M.linear_regression,
+            "template": (jnp.zeros((6, 2)),),
+            "doc": "linear regression with metaobserves",
+        },
+        "all_distr": {
+            "fn": M.all_distr,
+            "template": (0, 0),
+            "doc": "exercises every prior distribution",
+        },
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cpprob_tpu",
+        description="TPU-native probabilistic-programming inference CLI",
+    )
+    p.add_argument("--model", required=True, help="model name (see --list)")
+    p.add_argument(
+        "-m", "--mode", default="sis",
+        choices=["sis", "csis", "compile", "dryrun", "estimate"],
+        help="inference mode (the reference's StateType)",
+    )
+    p.add_argument("-n", "--n-particles", type=int, default=10_000)
+    p.add_argument("-o", "--observes", default=None,
+                   help="observed values, s-expression syntax, e.g. '3.0 4.0'")
+    p.add_argument("-f", "--observes-file", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="compile-mode minibatch (reference default 64)")
+    p.add_argument("--steps", type=int, default=400,
+                   help="compile-mode training steps")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="save/load the proposal network here")
+    p.add_argument("--dump-path", default=None,
+                   help="posterior dump path (reference text layout)")
+    p.add_argument("--npz", action="store_true", help="dump npz instead of text")
+    p.add_argument("--batch", type=int, default=None,
+                   help="particle batch size (memory bound)")
+    p.add_argument("--list", action="store_true", help="list models and exit")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import sis
+    from .inference.csis import CSIS
+    from .io import dump_posterior, dump_posterior_npz, load_posterior, parse_observes
+    from .postprocess import StatsPrinter
+    from .util import (
+        TrainLogger,
+        hardware_banner,
+        latest_checkpoint,
+        load_pytree,
+        save_pytree,
+    )
+
+    registry = _registry()
+    if args.list:
+        for name, entry in registry.items():
+            print(f"{name:>22}  {entry['doc']}")
+        return 0
+    if args.model not in registry:
+        print(f"unknown model {args.model!r}; use --list", file=sys.stderr)
+        return 2
+    entry = registry[args.model]
+    model, template = entry["fn"], entry["template"]
+    key = jax.random.key(args.seed)
+    print(hardware_banner(), file=sys.stderr)
+
+    if args.mode == "estimate":
+        # parse + summarize a dumped posterior (reference --estimate path)
+        if not args.dump_path:
+            print("--estimate needs --dump-path", file=sys.stderr)
+            return 2
+        predicts, log_w = load_posterior(args.dump_path)
+        import jax.numpy as jnp
+
+        class _R:
+            pass
+
+        r = _R()
+        r.predicts = {
+            k: np.asarray(v, dtype=np.float32) for k, v in predicts.items()
+        }
+        r.log_weights = jnp.asarray(log_w)
+        StatsPrinter(r).print(sys.stdout)
+        return 0
+
+    observes = template
+    if args.observes_file:
+        with open(args.observes_file) as f:
+            observes = parse_observes(f.read())
+    elif args.observes:
+        observes = parse_observes(args.observes)
+
+    if args.mode == "dryrun":
+        from .core import handlers
+
+        with handlers.Seed(key):
+            model(*observes)
+        print("dryrun ok", file=sys.stderr)
+        return 0
+
+    if args.mode == "compile":
+        engine = CSIS(model, template)
+        logger = TrainLogger(print_every=max(args.steps // 10, 1))
+        params, losses = engine.compile(
+            key, steps=args.steps, batch_size=args.batch_size,
+            log_fn=logger.log,
+        )
+        if args.ckpt_dir:
+            path = save_pytree(f"{args.ckpt_dir}/ckpt-final", params)
+            print(f"saved proposal network to {path}", file=sys.stderr)
+        return 0
+
+    if args.mode == "csis":
+        engine = CSIS(model, template)
+        if not args.ckpt_dir:
+            print("csis mode needs --ckpt-dir with a trained network",
+                  file=sys.stderr)
+            return 2
+        ck = latest_checkpoint(args.ckpt_dir)
+        if ck is None:
+            print(f"no checkpoint in {args.ckpt_dir}", file=sys.stderr)
+            return 2
+        params = load_pytree(ck, engine.init(jax.random.key(0)))
+        result = engine.infer(
+            params, observes, args.n_particles, key, batch_size=args.batch
+        )
+    else:  # sis
+        result = sis(
+            model, observes, args.n_particles, key, batch_size=args.batch
+        )
+
+    StatsPrinter(result).print(sys.stdout)
+    if args.dump_path:
+        if args.npz:
+            dump_posterior_npz(args.dump_path, result)
+        else:
+            dump_posterior(args.dump_path, result)
+        print(f"posterior dumped to {args.dump_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

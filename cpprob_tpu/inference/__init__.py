@@ -6,12 +6,24 @@ from .resampling import (
     stratified_resample,
     systematic_resample,
 )
+from .csis import CSIS
+from .hmc import HMCResult, hmc
+from .potential import FlatModel, flatten_model
 from .sis import ImportanceResult, make_particle_fn, make_prior_fn, sis
-from .smc import SMCResult, StateSpaceModel, smc
+from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
+from .svi import SVIResult, svi
 
 __all__ = [
     "sis",
     "smc",
+    "build_smc_run",
+    "CSIS",
+    "hmc",
+    "HMCResult",
+    "svi",
+    "SVIResult",
+    "flatten_model",
+    "FlatModel",
     "ImportanceResult",
     "SMCResult",
     "StateSpaceModel",

@@ -1,0 +1,119 @@
+"""Neural building blocks for inference compilation — pure pytree params +
+functions (no framework), so the proposal network lives *inside* the jitted
+particle kernel and batches over particles on the MXU.
+
+Counterparts of the reference's PyTorch modules:
+- MLP value/observation embeddings (``infcomp/distributions/embeddings.py:26-46``,
+  ``infcomp/nn/observation.py:16-36``)
+- bounded-integer embedding lookup (``embeddings.py:74-87``)
+- 2-layer LSTM core, hidden 128 (``infcomp/nn/nn.py:32-38``, ``settings.py:15``)
+- constraint projections: softplus for positive params, logsoftmax for
+  simplices, sigmoid interval mapping (``infcomp/distributions/projections.py``)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "mlp_init",
+    "mlp_apply",
+    "embedding_init",
+    "embedding_lookup",
+    "lstm_init",
+    "lstm_step",
+    "lstm_zero_state",
+    "softplus",
+    "EMBEDDING_DIM",
+]
+
+EMBEDDING_DIM = 128  # reference default (settings.py:15)
+
+
+def softplus(x):
+    return jax.nn.softplus(x) + 1e-6
+
+
+def _kaiming(key, shape, fan_in):
+    # Kaiming-normal init, matching the reference's init scheme (util.py:107-112)
+    return jax.random.normal(key, shape) * math.sqrt(2.0 / max(fan_in, 1))
+
+
+def mlp_init(key, sizes: Sequence[int]) -> List[Dict[str, jax.Array]]:
+    """MLP with ReLU hidden activations; ``sizes = [in, h1, ..., out]``."""
+    layers = []
+    for i in range(len(sizes) - 1):
+        key, sub = jax.random.split(key)
+        layers.append(
+            {
+                "w": _kaiming(sub, (sizes[i], sizes[i + 1]), sizes[i]),
+                "b": jnp.zeros((sizes[i + 1],)),
+            }
+        )
+    return layers
+
+
+def mlp_apply(layers, x):
+    for i, layer in enumerate(layers):
+        x = x @ layer["w"] + layer["b"]
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def embedding_init(key, num: int, dim: int):
+    return jax.random.normal(key, (num, dim)) * 0.1
+
+
+def embedding_lookup(table, idx):
+    return table[jnp.asarray(idx, jnp.int32)]
+
+
+def lstm_init(key, input_dim: int, hidden: int, layers: int = 2):
+    """Stacked LSTM params (reference: 2 layers, nn.py:36-40)."""
+    params = []
+    for l in range(layers):
+        in_dim = input_dim if l == 0 else hidden
+        key, k1, k2 = jax.random.split(key, 3)
+        params.append(
+            {
+                "wx": _kaiming(k1, (in_dim, 4 * hidden), in_dim),
+                "wh": _kaiming(k2, (hidden, 4 * hidden), hidden),
+                "b": jnp.zeros((4 * hidden,)),
+            }
+        )
+    return params
+
+
+def lstm_zero_state(params, batch_shape: Tuple[int, ...] = ()):
+    hidden = params[0]["wh"].shape[0]
+    return [
+        (
+            jnp.zeros(batch_shape + (hidden,)),
+            jnp.zeros(batch_shape + (hidden,)),
+        )
+        for _ in params
+    ]
+
+
+def lstm_step(params, x, state):
+    """One step of the stacked LSTM.  ``x``: (..., input_dim); ``state``:
+    list of (h, c) per layer.  Returns (top_h, new_state)."""
+    new_state = []
+    inp = x
+    for layer_params, (h, c) in zip(params, state):
+        gates = inp @ layer_params["wx"] + h @ layer_params["wh"] + layer_params["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f + 1.0)  # forget-gate bias 1
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        new_state.append((h_new, c_new))
+        inp = h_new
+    return inp, new_state

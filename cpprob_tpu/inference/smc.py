@@ -54,6 +54,13 @@ class StateSpaceModel:
     proposal_logpdf: Optional[Callable] = None
     init_proposal_sample: Optional[Callable] = None
     init_proposal_logpdf: Optional[Callable] = None
+    # Optional population-batched fast paths: one PRNG key, whole-population
+    # shapes ((n, ...) states).  When set, the engine skips the per-particle
+    # key split + vmap — halves the threefry work per step, the dominant cost
+    # of cheap models like the HMM.
+    init_sample_batch: Optional[Callable] = None      # (key, n) -> (n, ...)
+    step_sample_batch: Optional[Callable] = None      # (key, states, t) -> (n, ...)
+    obs_logpdf_batch: Optional[Callable] = None       # (states, y, t) -> (n,)
 
 
 class SMCResult(NamedTuple):
@@ -89,6 +96,7 @@ def make_smc_step(
     n_particles: int,
     ess_threshold: float,
     resampler: Callable,
+    store_history: bool = True,
 ):
     """Build the scan body: (key, states, log_w, log_Z), y_t -> advanced carry.
 
@@ -120,8 +128,8 @@ def make_smc_step(
             do_resample, resample_branch, keep_branch, operand=None
         )
 
-        prop_keys = jax.random.split(k_prop, n_particles)
         if guided:
+            prop_keys = jax.random.split(k_prop, n_particles)
             new_states = jax.vmap(
                 lambda k, s: model.proposal_sample(k, s, t, y_t)
             )(prop_keys, states_r)
@@ -129,23 +137,100 @@ def make_smc_step(
                 lambda ns, s: model.step_logpdf(ns, s, t)
                 - model.proposal_logpdf(ns, s, t, y_t)
             )(new_states, states_r)
+        elif model.step_sample_batch is not None:
+            new_states = model.step_sample_batch(k_prop, states_r, t)
+            rn = jnp.zeros_like(log_w_r)
         else:
+            prop_keys = jax.random.split(k_prop, n_particles)
             new_states = jax.vmap(lambda k, s: model.step_sample(k, s, t))(
                 prop_keys, states_r
             )
             rn = jnp.zeros_like(log_w_r)
 
-        obs_lp = jax.vmap(lambda s: model.obs_logpdf(s, y_t, t))(new_states)
+        if model.obs_logpdf_batch is not None:
+            obs_lp = model.obs_logpdf_batch(new_states, y_t, t)
+        else:
+            obs_lp = jax.vmap(lambda s: model.obs_logpdf(s, y_t, t))(new_states)
         new_log_w = log_w_r + rn + obs_lp
 
-        return (key, new_states, new_log_w, log_z_r), (
-            new_states,
-            new_log_w,
-            anc,
-            do_resample,
-        )
+        if store_history:
+            ys = (new_states, new_log_w, anc, do_resample)
+        else:
+            ys = (do_resample,)
+        return (key, new_states, new_log_w, log_z_r), ys
 
     return step
+
+
+def build_smc_run(
+    model: StateSpaceModel,
+    n_particles: int,
+    *,
+    ess_threshold: float = 0.5,
+    resampling: str = "systematic",
+    store_history: bool = False,
+):
+    """Build ``run(key, observations) -> SMCResult`` once; jit and reuse it
+    across calls (keeps the compilation cache warm for benchmarking and
+    repeated inference).  ``store_history=False`` keeps only the final
+    particle population (no (T, N) buffers — HBM-bandwidth-friendly; the
+    filtering history costs 2 full-population writes per step)."""
+    resampler = get_resampler(resampling)
+    step = make_smc_step(
+        model, n_particles, ess_threshold, resampler, store_history
+    )
+
+    def run(key, observations):
+        key, k_init, k_obs0 = jax.random.split(key, 3)
+        if model.init_proposal_sample is not None:
+            init_keys = jax.random.split(k_init, n_particles)
+            states0 = jax.vmap(
+                lambda k: model.init_proposal_sample(k, observations[0])
+            )(init_keys)
+            rn0 = jax.vmap(
+                lambda s: model.init_logpdf(s)
+                - model.init_proposal_logpdf(s, observations[0])
+            )(states0)
+        elif model.init_sample_batch is not None:
+            states0 = model.init_sample_batch(k_init, n_particles)
+            rn0 = jnp.zeros((n_particles,))
+        else:
+            init_keys = jax.random.split(k_init, n_particles)
+            states0 = jax.vmap(model.init_sample)(init_keys)
+            rn0 = jnp.zeros((n_particles,))
+        if model.obs_logpdf_batch is not None:
+            log_w0 = rn0 + model.obs_logpdf_batch(states0, observations[0], 0)
+        else:
+            log_w0 = rn0 + jax.vmap(
+                lambda s: model.obs_logpdf(s, observations[0], 0)
+            )(states0)
+
+        ts = jnp.arange(1, observations.shape[0])
+        carry0 = (key, states0, log_w0, jnp.zeros(()))
+        (key_f, states_f, log_w_f, log_z), ys = jax.lax.scan(
+            step, carry0, (observations[1:], ts)
+        )
+        log_z = log_z + _log_mean_exp(log_w_f)
+
+        if store_history:
+            hist_s, hist_w, hist_a, hist_r = ys
+            states = jnp.concatenate([states0[None], hist_s], axis=0)
+            log_ws = jnp.concatenate([log_w0[None], hist_w], axis=0)
+            anc = jnp.concatenate(
+                [jnp.arange(n_particles, dtype=jnp.int32)[None], hist_a],
+                axis=0,
+            )
+            resampled = jnp.concatenate([jnp.zeros((1,), bool), hist_r], axis=0)
+            return SMCResult(
+                states, log_ws, anc, resampled, log_z, states_f, log_w_f
+            )
+        (hist_r,) = ys
+        resampled = jnp.concatenate([jnp.zeros((1,), bool), hist_r], axis=0)
+        return SMCResult(
+            None, None, None, resampled, log_z, states_f, log_w_f
+        )
+
+    return run
 
 
 def smc(
@@ -163,44 +248,10 @@ def smc(
     Evidence: log Z = sum over resampling epochs of log-mean-exp of the
     accumulated weights (the standard unbiased SMC estimator).
     """
-    resampler = get_resampler(resampling)
-    step = make_smc_step(model, n_particles, ess_threshold, resampler)
-
-    def run(key):
-        key, k_init, k_obs0 = jax.random.split(key, 3)
-        init_keys = jax.random.split(k_init, n_particles)
-        if model.init_proposal_sample is not None:
-            states0 = jax.vmap(
-                lambda k: model.init_proposal_sample(k, observations[0])
-            )(init_keys)
-            rn0 = jax.vmap(
-                lambda s: model.init_logpdf(s)
-                - model.init_proposal_logpdf(s, observations[0])
-            )(states0)
-        else:
-            states0 = jax.vmap(model.init_sample)(init_keys)
-            rn0 = jnp.zeros((n_particles,))
-        log_w0 = rn0 + jax.vmap(
-            lambda s: model.obs_logpdf(s, observations[0], 0)
-        )(states0)
-
-        ts = jnp.arange(1, observations.shape[0])
-        carry0 = (key, states0, log_w0, jnp.zeros(()))
-        (key_f, states_f, log_w_f, log_z), (hist_s, hist_w, hist_a, hist_r) = (
-            jax.lax.scan(step, carry0, (observations[1:], ts))
-        )
-        log_z = log_z + _log_mean_exp(log_w_f)
-
-        states = jnp.concatenate([states0[None], hist_s], axis=0)
-        log_ws = jnp.concatenate([log_w0[None], hist_w], axis=0)
-        anc = jnp.concatenate(
-            [jnp.arange(n_particles, dtype=jnp.int32)[None], hist_a], axis=0
-        )
-        resampled = jnp.concatenate([jnp.zeros((1,), bool), hist_r], axis=0)
-        return SMCResult(
-            states, log_ws, anc, resampled, log_z, states_f, log_w_f
-        )
-
+    run = build_smc_run(
+        model, n_particles, ess_threshold=ess_threshold, resampling=resampling,
+        store_history=True,
+    )
     if jit:
         run = jax.jit(run)
-    return run(key)
+    return run(key, observations)

@@ -76,6 +76,22 @@ def _hmm_obs_logpdf(state, y, t):
     return Normal(mean, 1.0).log_prob(y)
 
 
+def _hmm_init_batch(key, n):
+    return jax.random.randint(key, (n,), 0, 3)
+
+
+def _hmm_step_batch(key, states, t):
+    # gather each particle's transition row, one categorical over the batch
+    logits = jnp.log(jnp.asarray(HMM_TRANS))[states]  # (n, 3)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def _hmm_obs_batch(states, y, t):
+    mean = jnp.asarray(HMM_MEANS)[states]
+    d = y - mean
+    return -0.5 * d * d - 0.9189385332046727  # N(mean, 1) logpdf
+
+
 hmm_ssm = StateSpaceModel(
     init_sample=_hmm_init,
     init_logpdf=_hmm_init_logpdf,
@@ -83,6 +99,9 @@ hmm_ssm = StateSpaceModel(
     step_logpdf=_hmm_step_logpdf,
     obs_logpdf=_hmm_obs_logpdf,
     # t=0 emission uses the same obs_logpdf
+    init_sample_batch=_hmm_init_batch,
+    step_sample_batch=_hmm_step_batch,
+    obs_logpdf_batch=_hmm_obs_batch,
 )
 
 

@@ -33,6 +33,9 @@ linear_gaussian_ssm = StateSpaceModel(
     step_sample=lambda key, s, t: s + jax.random.normal(key, ()),
     step_logpdf=lambda ns, s, t: Normal(s, 1.0).log_prob(ns),
     obs_logpdf=lambda s, y, t: Normal(s, 1.0).log_prob(y),
+    init_sample_batch=lambda key, n: jax.random.normal(key, (n,)),
+    step_sample_batch=lambda key, s, t: s + jax.random.normal(key, s.shape),
+    obs_logpdf_batch=lambda s, y, t: -0.5 * (y - s) ** 2 - 0.9189385332046727,
 )
 
 

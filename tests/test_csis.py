@@ -1,0 +1,168 @@
+"""CSIS (inference compilation) tests: structure discovery, training
+convergence, guided ESS gains vs prior SIS, posterior correctness, and the
+prior-fallback path — the end-to-end validation the reference only did
+manually over two processes (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cpprob_tpu as ct
+from cpprob_tpu.core import handlers
+from cpprob_tpu.distributions import Normal, Uniform
+from cpprob_tpu.inference.csis import (
+    CSIS,
+    CSISProposalMessenger,
+    discover_structure,
+    init_csis_params,
+    make_proposal_dist,
+)
+from cpprob_tpu.models import (
+    gaussian_posterior_analytic,
+    gaussian_unknown_mean_readme,
+    hmm,
+    hmm_exact_posterior,
+)
+
+
+def test_discover_structure_gaussian():
+    s = discover_structure(gaussian_unknown_mean_readme, (0.0, 0.0))
+    assert [x.addr for x in s.sites] == ["mu"]
+    assert s.sites[0].kind == "normal"
+    assert s.observe_addrs == ("y1", "y2")
+    assert s.obs_dim == 2
+
+
+def test_discover_structure_hmm():
+    s = discover_structure(hmm, (jnp.zeros(5),))
+    assert len(s.sites) == 5
+    assert s.sites[0].kind == "uniform_int"
+    assert all(x.kind == "categorical" for x in s.sites[1:])
+    assert s.obs_dim == 5
+
+
+def test_uncontrolled_sites_excluded():
+    def m(y):
+        a = ct.sample(Normal(0.0, 1.0), addr="a", control=False)
+        b = ct.sample(Normal(a, 1.0), addr="b")
+        ct.observe(Normal(b, 1.0), y, addr="y")
+
+    s = discover_structure(m, (0.0,))
+    assert [x.addr for x in s.sites] == ["b"]
+
+
+class TestGaussianCSIS:
+    @pytest.fixture(scope="class")
+    def engine_and_params(self):
+        eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
+        params, losses = eng.compile(
+            jax.random.key(0), steps=300, batch_size=256
+        )
+        return eng, params, losses
+
+    def test_training_converges(self, engine_and_params):
+        _, _, losses = engine_and_params
+        assert float(losses[-10:].mean()) < float(losses[0]) - 0.5
+
+    def test_guided_beats_prior_ess(self, engine_and_params, key):
+        eng, params, _ = engine_and_params
+        res_g = eng.infer(params, (3.0, 4.0), 20_000, key)
+        res_p = ct.sis(gaussian_unknown_mean_readme, (3.0, 4.0), 20_000, key)
+        assert float(res_g.ess) > 1.5 * float(res_p.ess)
+
+    def test_guided_posterior_correct(self, engine_and_params, key):
+        eng, params, _ = engine_and_params
+        res = eng.infer(params, (3.0, 4.0), 50_000, key)
+        assert abs(float(res.mean("Mean")) - 2.32353) < 0.03
+        assert abs(float(res.variance("Mean")) - 1.05882) < 0.05
+
+    def test_guided_generalizes_across_observations(self, engine_and_params, key):
+        """The network amortizes over observations: different y's give the
+        right posterior without retraining."""
+        eng, params, _ = engine_and_params
+        res = eng.infer(params, (-1.0, 0.5), 50_000, key)
+        mean, var = gaussian_posterior_analytic(
+            [-1.0, 0.5], mu0=1.0, sigma0=1.5, sigma=2.0
+        )
+        assert abs(float(res.mean("Mean")) - float(mean)) < 0.04
+
+
+class TestHMMCSIS:
+    @pytest.fixture(scope="class")
+    def engine_and_params(self):
+        eng = CSIS(hmm, (jnp.zeros(6),))
+        params, losses = eng.compile(
+            jax.random.key(0), steps=300, batch_size=256
+        )
+        return eng, params
+
+    def test_guided_ess_gain(self, engine_and_params, key):
+        eng, params = engine_and_params
+        obs = jnp.array([0.9, 0.8, -1.0, 0.0, 1.1, -0.8])
+        res_g = eng.infer(params, (obs,), 10_000, key)
+        res_p = ct.sis(hmm, (obs,), 10_000, key)
+        assert float(res_g.ess) > 2.0 * float(res_p.ess)
+
+    def test_guided_marginals_correct(self, engine_and_params, key):
+        eng, params = engine_and_params
+        obs = jnp.array([0.9, 0.8, -1.0, 0.0, 1.1, -0.8])
+        res = eng.infer(params, (obs,), 30_000, key)
+        exact = np.asarray(hmm_exact_posterior(obs))
+        states = np.asarray(res.predicts["State"])
+        w = np.asarray(res.normalized_weights)
+        for t in range(6):
+            for s in range(3):
+                est = float(np.sum(w * (states[:, t] == s)))
+                assert abs(est - exact[t, s]) < 0.04
+
+
+def test_prior_fallback_on_unknown_address(key):
+    """A model whose addresses don't match the trained structure must fall
+    back to the prior with zero RN correction (cpprob.hpp:52-56)."""
+    eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
+    params = eng.init(jax.random.key(0))
+
+    def other_model(y1, y2):
+        mu = ct.sample(Normal(1.0, 1.5), addr="other_mu")  # unknown addr
+        ct.observe(Normal(mu, 2.0), y1, addr="y1")
+        ct.observe(Normal(mu, 2.0), y2, addr="y2")
+        ct.predict(mu, "Mean")
+
+    factory = eng.proposal_factory(params, (3.0, 4.0))
+    res = ct.sis(other_model, (3.0, 4.0), 20_000, key,
+                 proposal_messenger=factory)
+    # falls back to prior => same estimator quality as plain SIS
+    assert abs(float(res.mean("Mean")) - 2.32353) < 0.05
+
+
+def test_uniform_proposal_family(key):
+    """Uniform prior -> truncated-mixture-of-8-normals proposal
+    (prior_distributions.py:59-65): samples stay in support."""
+
+    def m(y):
+        x = ct.sample(Uniform(-2.0, 3.0), addr="x")
+        ct.observe(Normal(x, 0.3), y, addr="y")
+        ct.predict(x, "X")
+
+    eng = CSIS(m, (0.0,))
+    params, _ = eng.compile(jax.random.key(0), steps=200, batch_size=128)
+    res = eng.infer(params, (1.0,), 5_000, key)
+    xs = np.asarray(res.predicts["X"])
+    assert xs.min() >= -2.0 and xs.max() <= 3.0
+    # posterior ~ N(1, 0.3) truncated; mean close to 1
+    assert abs(float(res.mean("X")) - 1.0) < 0.1
+
+
+def test_csis_infer_is_jittable_end_to_end(key):
+    eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
+    params = eng.init(jax.random.key(0))
+    factory = eng.proposal_factory(params, (3.0, 4.0))
+    from cpprob_tpu.inference.sis import make_particle_fn
+
+    particle = make_particle_fn(
+        gaussian_unknown_mean_readme, (3.0, 4.0), proposal_messenger=factory
+    )
+    log_w, predicts = jax.jit(jax.vmap(particle))(jax.random.split(key, 64))
+    assert log_w.shape == (64,)
+    assert np.all(np.isfinite(np.asarray(log_w)))
