@@ -27,14 +27,21 @@ def main():
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--steps", type=int, default=16, help="HMM length T")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
     args = ap.parse_args()
 
     from cpprob_tpu.inference.smc import build_smc_run
     from cpprob_tpu.models import HMM_MEANS, HMM_TRANS, hmm_ssm
+    from cpprob_tpu.ops.pallas_hmm import make_pallas_hmm_ssm, pallas_available
 
     n_particles = args.particles or (1 << 14 if args.quick else 1 << 21)
     T = args.steps
     iters = 2 if args.quick else args.iters
+
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if pallas_available(n_particles) else "xla"
+    model = make_pallas_hmm_ssm() if impl == "pallas" else hmm_ssm
 
     # Observations simulated from the HMM itself (fixed seed).
     rng = np.random.RandomState(0)
@@ -48,7 +55,7 @@ def main():
 
     run = jax.jit(
         build_smc_run(
-            hmm_ssm, n_particles, ess_threshold=0.5, resampling="systematic",
+            model, n_particles, ess_threshold=0.5, resampling="systematic",
             store_history=False,
         )
     )
@@ -81,6 +88,7 @@ def main():
             "resample_epochs": int(np.asarray(res.resampled).sum()),
             "device": str(jax.devices()[0]),
             "iters": iters,
+            "impl": impl,
         },
     }
     print(json.dumps(out))

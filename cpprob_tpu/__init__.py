@@ -26,6 +26,7 @@ from .inference import (
     SMCResult,
     StateSpaceModel,
     hmc,
+    nuts,
     sis,
     smc,
     svi,
@@ -50,6 +51,7 @@ __all__ = [
     "smc",
     "CSIS",
     "hmc",
+    "nuts",
     "svi",
     "ImportanceResult",
     "SMCResult",

@@ -8,6 +8,7 @@ from .resampling import (
 )
 from .csis import CSIS
 from .hmc import HMCResult, hmc
+from .nuts import nuts
 from .potential import FlatModel, flatten_model
 from .sis import ImportanceResult, make_particle_fn, make_prior_fn, sis
 from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
@@ -19,6 +20,7 @@ __all__ = [
     "build_smc_run",
     "CSIS",
     "hmc",
+    "nuts",
     "HMCResult",
     "svi",
     "SVIResult",

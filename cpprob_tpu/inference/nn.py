@@ -27,6 +27,9 @@ __all__ = [
     "lstm_init",
     "lstm_step",
     "lstm_zero_state",
+    "lstm_embed_sequence",
+    "conv3d_init",
+    "conv3d_apply",
     "softplus",
     "EMBEDDING_DIM",
 ]
@@ -98,6 +101,56 @@ def lstm_zero_state(params, batch_shape: Tuple[int, ...] = ()):
         )
         for _ in params
     ]
+
+
+def lstm_embed_sequence(params, xs):
+    """Observation-sequence embedding: run the stacked LSTM over the leading
+    axis of ``xs`` (T, ..., input_dim), return the last top-layer output —
+    counterpart of ``ObserveEmbeddingLSTM`` (``observation.py:39-53``)."""
+    batch_shape = xs.shape[1:-1]
+    state0 = lstm_zero_state(params, batch_shape)
+
+    def body(state, x):
+        h, state = lstm_step(params, x, state)
+        return state, h
+
+    _, hs = jax.lax.scan(body, state0, xs)
+    return hs[-1]
+
+
+def conv3d_init(key, channels=(1, 4, 8), kernel: int = 3, out_dim: int = EMBEDDING_DIM):
+    """3-D CNN observation embedding — counterpart of
+    ``ObserveEmbeddingCNN3D4C`` (``observation.py:56-93``) for volumetric
+    observations (e.g. the 35x35x20 calorimeter)."""
+    params = {"convs": [], "head": None}
+    for cin, cout in zip(channels[:-1], channels[1:]):
+        key, sub = jax.random.split(key)
+        fan_in = cin * kernel**3
+        params["convs"].append(
+            {
+                "w": _kaiming(sub, (cout, cin, kernel, kernel, kernel), fan_in),
+                "b": jnp.zeros((cout,)),
+            }
+        )
+    key, sub = jax.random.split(key)
+    params["head"] = mlp_init(sub, [channels[-1], out_dim])
+    return params
+
+
+def conv3d_apply(params, vol):
+    """``vol``: (..., D, H, W) -> (..., out_dim).  SAME conv stack + ReLU, then
+    global average pool and a dense head."""
+    batch_shape = vol.shape[:-3]
+    x = vol.reshape((-1, 1) + vol.shape[-3:])  # (N, C=1, D, H, W)
+    for conv in params["convs"]:
+        x = jax.lax.conv_general_dilated(
+            x, conv["w"], window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        ) + conv["b"][None, :, None, None, None]
+        x = jax.nn.relu(x)
+    x = jnp.mean(x, axis=(-3, -2, -1))          # global average pool -> (N, C)
+    x = mlp_apply(params["head"], x)
+    return x.reshape(batch_shape + (x.shape[-1],))
 
 
 def lstm_step(params, x, state):

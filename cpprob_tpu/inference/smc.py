@@ -61,6 +61,13 @@ class StateSpaceModel:
     init_sample_batch: Optional[Callable] = None      # (key, n) -> (n, ...)
     step_sample_batch: Optional[Callable] = None      # (key, states, t) -> (n, ...)
     obs_logpdf_batch: Optional[Callable] = None       # (states, y, t) -> (n,)
+    # Fully fused propagate+reweight (e.g. a Pallas kernel with the TPU
+    # hardware RNG): (key, states, log_w, y, t) -> (new_states, new_log_w).
+    # Takes precedence over the other step paths in unguided SMC.
+    fused_step_batch: Optional[Callable] = None
+    # Emission simulator (key, state, t) -> y, needed to train amortized
+    # proposals on prior rollouts (compile-mode analogue for SSMs).
+    obs_sample: Optional[Callable] = None
 
 
 class SMCResult(NamedTuple):
@@ -127,6 +134,16 @@ def make_smc_step(
         states_r, log_w_r, log_z_r, anc = jax.lax.cond(
             do_resample, resample_branch, keep_branch, operand=None
         )
+
+        if not guided and model.fused_step_batch is not None:
+            new_states, new_log_w = model.fused_step_batch(
+                k_prop, states_r, log_w_r, y_t, t
+            )
+            if store_history:
+                ys = (new_states, new_log_w, anc, do_resample)
+            else:
+                ys = (do_resample,)
+            return (key, new_states, new_log_w, log_z_r), ys
 
         if guided:
             prop_keys = jax.random.split(k_prop, n_particles)

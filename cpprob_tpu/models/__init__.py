@@ -23,6 +23,13 @@ from .poly import (
     poly_adjustment_prior_gen,
 )
 from .rejection import normal_rejection_sampling
+from .sherpa import (
+    CHANNEL_MOMENTA,
+    calo_simulation,
+    sherpa_calorimeter_wrapper,
+    sherpa_mini,
+    sherpa_mini_wrapper,
+)
 
 __all__ = [
     "all_distr",
@@ -45,4 +52,9 @@ __all__ = [
     "eval_poly",
     "poly_adjustment_prior_gen",
     "normal_rejection_sampling",
+    "sherpa_mini",
+    "sherpa_mini_wrapper",
+    "sherpa_calorimeter_wrapper",
+    "calo_simulation",
+    "CHANNEL_MOMENTA",
 ]

@@ -102,6 +102,8 @@ hmm_ssm = StateSpaceModel(
     init_sample_batch=_hmm_init_batch,
     step_sample_batch=_hmm_step_batch,
     obs_logpdf_batch=_hmm_obs_batch,
+    obs_sample=lambda key, s, t: jnp.asarray(HMM_MEANS)[s]
+    + jax.random.normal(key, ()),
 )
 
 

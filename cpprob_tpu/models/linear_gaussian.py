@@ -36,6 +36,7 @@ linear_gaussian_ssm = StateSpaceModel(
     init_sample_batch=lambda key, n: jax.random.normal(key, (n,)),
     step_sample_batch=lambda key, s, t: s + jax.random.normal(key, s.shape),
     obs_logpdf_batch=lambda s, y, t: -0.5 * (y - s) ** 2 - 0.9189385332046727,
+    obs_sample=lambda key, s, t: s + jax.random.normal(key, ()),
 )
 
 

@@ -1,0 +1,144 @@
+"""Pallas fused SMC step for the 3-state HMM — the hot kernel of the headline
+benchmark (BASELINE.json: >=10M particles/s/chip).
+
+Why a kernel: the XLA path spends most of each step in counter-based threefry
+RNG (key split + categorical bits).  This kernel uses the TPU's **hardware
+PRNG** (``pltpu.prng_seed`` / ``prng_random_bits``) and fuses transition
+sampling + emission reweighting into one VMEM-resident pass:
+
+    read  state (4B) + log_w (4B)  ->  1 hw-RNG draw, ~15 VPU ops
+    write state (4B) + log_w (4B)
+
+i.e. 16 B/particle-step of HBM traffic — the speed-of-light bound for this
+update.  Layout: particles as (R, 128) tiles (lane dim 128, f32/int32 tile
+rules per the TPU tiling constraints).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_hmm_fused_step", "make_pallas_hmm_ssm", "pallas_available"]
+
+_HALF_LOG_2PI = 0.9189385332046727
+# HMM constants (models.hpp:114-141): means (-1, 0, 1), transition rows below.
+_TRANS_CDF = np.array(
+    [
+        [0.10, 0.60],   # row 0: cdf after classes 0,1
+        [0.20, 0.40],
+        [0.15, 0.30],
+    ],
+    np.float32,
+)
+_MEANS = np.array([-1.0, 0.0, 1.0], np.float32)
+
+_LANES = 128
+_BLOCK_R = 256  # (256, 128) f32 blocks = 128 KiB per buffer in VMEM
+
+
+def _uniform_from_bits(bits):
+    # top 24 bits -> [0, 1) float32, exactly representable.  Mosaic has no
+    # uint32->f32 cast: logical-shift as int32 (guaranteed non-negative) first.
+    b24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.int32), 8)
+    return b24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _select3(idx, v0, v1, v2):
+    return jnp.where(idx == 0, v0, jnp.where(idx == 1, v1, v2))
+
+
+def _step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref):
+    i = pl.program_id(0)
+    # decorrelate blocks with a Weyl-sequence offset on the seed
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(states_ref.shape), jnp.uint32)
+    u = _uniform_from_bits(bits)
+
+    s = states_ref[:]
+    c0 = _select3(s, _TRANS_CDF[0, 0], _TRANS_CDF[1, 0], _TRANS_CDF[2, 0])
+    c1 = _select3(s, _TRANS_CDF[0, 1], _TRANS_CDF[1, 1], _TRANS_CDF[2, 1])
+    new_s = (u >= c0).astype(jnp.int32) + (u >= c1).astype(jnp.int32)
+
+    y = y_ref[0]
+    mean = _select3(new_s, _MEANS[0], _MEANS[1], _MEANS[2])
+    d = y - mean
+    out_s_ref[:] = new_s
+    out_w_ref[:] = logw_ref[:] + (-0.5 * d * d - _HALF_LOG_2PI)
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def pallas_hmm_fused_step(
+    seed, states, log_w, y, block_r: int = _BLOCK_R, interpret: bool = False
+):
+    """One fused transition+reweight step.  ``states``: (N,) int32 in {0,1,2};
+    ``log_w``: (N,) f32; ``seed``: int32 scalar; ``y``: f32 scalar.
+    N must be a multiple of 128*block_r.  ``interpret=True`` runs the Pallas
+    interpreter (CPU debugging/tests)."""
+    n = states.shape[0]
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    grid = (r // block_r,)
+    s2 = states.reshape(r, _LANES)
+    w2 = log_w.reshape(r, _LANES)
+    out_s, out_w = pl.pallas_call(
+        _step_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(y, jnp.float32).reshape(1),
+        s2,
+        w2,
+    )
+    return out_s.reshape(n), out_w.reshape(n)
+
+
+def _key_to_seed(key):
+    data = jax.random.key_data(key).ravel()
+    return (data[0] ^ data[-1]).astype(jnp.int32)
+
+
+def pallas_available(n_particles: int, block_r: int = _BLOCK_R) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return n_particles % (_LANES * block_r) == 0
+
+
+def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
+    """HMM StateSpaceModel whose propagate+reweight runs in the fused Pallas
+    kernel; init/emission-at-t0/resampling stay on the XLA path (they run once
+    or operate on weights only)."""
+    from ..models.hmm import hmm_ssm
+
+    def fused(key, states, log_w, y, t):
+        return pallas_hmm_fused_step(
+            _key_to_seed(key), states, log_w, y, block_r=block_r
+        )
+
+    import dataclasses
+
+    return dataclasses.replace(hmm_ssm, fused_step_batch=fused)

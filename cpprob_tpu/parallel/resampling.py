@@ -79,10 +79,14 @@ def sharded_systematic_ancestors(
     my_cdf = (local_cum + offsets[my]) / total
     full_cdf = jax.lax.all_gather(my_cdf, axis_name).reshape(n_total)
 
-    slots = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
-    positions = (u0 + slots.astype(full_cdf.dtype)) / n_total
-    anc = jnp.searchsorted(full_cdf, positions, side="right")
-    return jnp.clip(anc, 0, n_total - 1).astype(jnp.int32)
+    from ..inference.resampling import systematic_ancestors_from_cdf
+
+    # scatter+cummax over the full comb (10x faster than searchsorted on TPU),
+    # then slice this shard's output slots
+    anc_full = systematic_ancestors_from_cdf(
+        full_cdf, jnp.asarray(u0, full_cdf.dtype), n_total
+    )
+    return jax.lax.dynamic_slice(anc_full, (my * n_local,), (n_local,))
 
 
 def local_systematic_ancestors(

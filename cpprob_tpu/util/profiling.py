@@ -1,0 +1,61 @@
+"""Profiling helpers — greenfield relative to the reference (SURVEY.md §5:
+the reference has no tracing/profiling beyond progress prints).
+
+``profile_trace`` wraps the JAX profiler (view in TensorBoard/XProf);
+``StageTimer`` gives cheap wall-clock per-stage timing with device sync.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+__all__ = ["profile_trace", "StageTimer"]
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a JAX profiler trace for the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage; ``sync=True`` fences the device
+    (a host read) before reading the clock so async dispatch doesn't hide
+    compute in the wrong stage."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync_on is not None:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready()
+                    if hasattr(x, "block_until_ready") else x,
+                    sync_on,
+                )
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = [f"{'stage':<24}{'total_s':>10}{'calls':>8}{'mean_ms':>10}"]
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f"{name:<24}{total:>10.3f}{n:>8}{total / n * 1e3:>10.2f}"
+            )
+        return "\n".join(lines)

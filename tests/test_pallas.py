@@ -1,0 +1,67 @@
+"""Pallas fused SMC-step kernel tests.
+
+The TPU hardware PRNG has no CPU implementation (interpret mode yields zero
+bits), so the statistical kernel tests only run on a real TPU backend — they
+are exercised there by ``bench.py`` and the verify drives.  On the CPU test
+mesh we check gating logic and that the XLA fallback model stays the default.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpprob_tpu.models.hmm import HMM_MEANS, HMM_TRANS
+from cpprob_tpu.ops.pallas_hmm import (
+    make_pallas_hmm_ssm,
+    pallas_available,
+    pallas_hmm_fused_step,
+)
+
+N = 128 * 256
+_ON_TPU = jax.default_backend() in ("tpu", "axon")
+
+tpu_only = pytest.mark.skipif(not _ON_TPU, reason="needs TPU hardware PRNG")
+
+
+@tpu_only
+def test_transition_distribution():
+    for s0 in range(3):
+        states = jnp.full((N,), s0, jnp.int32)
+        s1, _ = pallas_hmm_fused_step(
+            jnp.int32(7 + s0), states, jnp.zeros((N,)), jnp.float32(0.0)
+        )
+        frac = np.bincount(np.asarray(s1), minlength=3) / N
+        np.testing.assert_allclose(frac, HMM_TRANS[s0], atol=0.02)
+
+
+@tpu_only
+def test_weight_update_exact():
+    states = jnp.zeros((N,), jnp.int32)
+    logw0 = jnp.full((N,), -1.25)
+    s1, w1 = pallas_hmm_fused_step(jnp.int32(3), states, logw0, jnp.float32(0.5))
+    d = 0.5 - HMM_MEANS[np.asarray(s1)]
+    want = -1.25 + (-0.5 * d * d - 0.9189385332046727)
+    np.testing.assert_allclose(np.asarray(w1), want, atol=1e-6)
+
+
+@tpu_only
+def test_seed_determinism():
+    states = jnp.zeros((N,), jnp.int32)
+    s_a, _ = pallas_hmm_fused_step(jnp.int32(11), states, jnp.zeros((N,)), jnp.float32(0.0))
+    s_b, _ = pallas_hmm_fused_step(jnp.int32(11), states, jnp.zeros((N,)), jnp.float32(0.0))
+    s_c, _ = pallas_hmm_fused_step(jnp.int32(12), states, jnp.zeros((N,)), jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    assert np.any(np.asarray(s_a) != np.asarray(s_c))
+
+
+def test_pallas_available_gating():
+    if not _ON_TPU:
+        assert not pallas_available(N)
+    assert not pallas_available(N + 1)  # non-multiple of lane*block
+
+
+def test_pallas_model_structure():
+    m = make_pallas_hmm_ssm()
+    assert m.fused_step_batch is not None
+    assert m.init_sample_batch is not None
