@@ -124,9 +124,14 @@ def dump_traces(engine, directory: str, key, n_traces: int, shard_size: int = 40
         key, sub = jax.random.split(key)
         n = min(shard_size, remaining)
         values, obs = engine._gen(sub, n)
+        masks = values.pop("__masks__", {})
         np_values = {
             k: np.asarray(v, np.float32) for k, v in values.items()
         }
+        for addr, m in masks.items():
+            np_values[f"__mask__{addr}"] = np.broadcast_to(
+                np.asarray(m, np.float32), (n,)
+            )
         paths.append(write_trace_shard(directory, np_values, np.asarray(obs)))
         remaining -= n
     return paths

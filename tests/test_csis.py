@@ -166,3 +166,32 @@ def test_csis_infer_is_jittable_end_to_end(key):
     log_w, predicts = jax.jit(jax.vmap(particle))(jax.random.split(key, 64))
     assert log_w.shape == (64,)
     assert np.all(np.isfinite(np.asarray(log_w)))
+
+
+def test_masked_variable_structure(key):
+    """Variable-size models = static-max + Mask (the TPU replacement for the
+    reference's address-sequence subbatching): masked-out sites must not
+    contribute to training loss or inference weights."""
+    from cpprob_tpu.distributions import Poisson
+
+    MAXN = 6
+
+    def m(ys):
+        n = 1 + ct.sample(Poisson(2.0), addr="n", control=False)
+        n = jnp.minimum(n, MAXN)
+        mu = ct.sample(Normal(0.0, 2.0), addr="mu")
+        for i in range(MAXN):
+            active = (i < n).astype(jnp.float32)
+            with handlers.Mask(active):
+                ct.observe(Normal(mu, 0.5), ys[i], addr=f"y[{i}]")
+        ct.predict(mu, "Mu")
+
+    eng = CSIS(m, (jnp.zeros(MAXN),))
+    # masks recorded for the controlled site
+    values, obs = eng._gen(jax.random.key(0), 32)
+    assert "__masks__" in values
+    params, losses = eng.compile(jax.random.key(0), steps=120, batch_size=128)
+    assert float(losses[-1]) < float(losses[0])
+    ys = jnp.full((MAXN,), 1.2)
+    res = eng.infer(params, (ys,), 4000, key)
+    assert np.isfinite(float(res.mean("Mu")))
