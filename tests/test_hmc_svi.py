@@ -142,3 +142,43 @@ class TestSVI:
         b = float(np.mean(np.asarray(s["b"])))
         assert abs(a - 2.16) < 0.25
         assert abs(b + 0.52) < 0.8
+
+
+class TestDiagnostics:
+    def test_rhat_and_ess_on_iid_chains(self, key):
+        import jax
+        from cpprob_tpu.postprocess import (
+            effective_sample_size,
+            split_rhat,
+            summarize_chains,
+        )
+
+        samples = jax.random.normal(key, (4, 500))
+        rhat = float(split_rhat(samples))
+        assert abs(rhat - 1.0) < 0.05
+        ess = float(effective_sample_size(samples))
+        assert ess > 1000  # iid draws: ESS ~ total draws
+        s = summarize_chains(samples)
+        assert abs(float(s["mean"])) < 0.1
+
+    def test_rhat_detects_nonmixing(self, key):
+        import jax.numpy as jnp
+        from cpprob_tpu.postprocess import split_rhat
+
+        # two chains stuck at different modes
+        samples = jnp.stack([jnp.zeros(200), jnp.ones(200) * 5.0])
+        samples = samples + 0.1 * jax.random.normal(key, (2, 200))
+        assert float(split_rhat(samples)) > 2.0
+
+    def test_ess_detects_autocorrelation(self, key):
+        import jax.numpy as jnp
+        import numpy as np
+        from cpprob_tpu.postprocess import effective_sample_size
+
+        rng = np.random.RandomState(0)
+        x = np.zeros((2, 1000), np.float32)
+        for c in range(2):
+            for t in range(1, 1000):
+                x[c, t] = 0.95 * x[c, t - 1] + rng.normal() * 0.3
+        ess = float(effective_sample_size(jnp.asarray(x)))
+        assert ess < 500  # strongly autocorrelated
