@@ -46,11 +46,13 @@ def _registry() -> Dict[str, dict]:
         "linear_gaussian": {
             "fn": M.linear_gaussian_1d,
             "template": (jnp.zeros(50),),
+            "ssm": M.linear_gaussian_ssm,
             "doc": "linear-Gaussian state-space model (N=50)",
         },
         "hmm": {
             "fn": M.hmm,
             "template": (jnp.zeros(10),),
+            "ssm": M.hmm_ssm,
             "doc": "3-state HMM, Gaussian emissions (N=10)",
         },
         "normal_rejection": {
@@ -84,9 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True, help="model name (see --list)")
     p.add_argument(
         "-m", "--mode", default="sis",
-        choices=["sis", "csis", "compile", "dryrun", "estimate"],
-        help="inference mode (the reference's StateType)",
+        choices=["sis", "csis", "compile", "dryrun", "estimate", "smc"],
+        help="inference mode (the reference's StateType + smc)",
     )
+    p.add_argument("--ess-threshold", type=float, default=0.5,
+                   help="smc: resample when ESS < threshold * N")
+    p.add_argument("--resampling", default="systematic",
+                   choices=["systematic", "stratified", "multinomial",
+                            "residual"])
     p.add_argument("-n", "--n-particles", type=int, default=10_000)
     p.add_argument("-o", "--observes", default=None,
                    help="observed values, s-expression syntax, e.g. '3.0 4.0'")
@@ -169,6 +176,31 @@ def main(argv=None) -> int:
         with handlers.Seed(key):
             model(*observes)
         print("dryrun ok", file=sys.stderr)
+        return 0
+
+    if args.mode == "smc":
+        import jax.numpy as jnp
+
+        from .inference.smc import smc as run_smc
+
+        ssm = entry.get("ssm")
+        if ssm is None:
+            print(f"model {args.model!r} has no state-space (SSM) form; "
+                  "smc supports: "
+                  + ", ".join(k for k, e in registry.items() if "ssm" in e),
+                  file=sys.stderr)
+            return 2
+        obs = jnp.ravel(jnp.asarray(observes[0], jnp.float32))
+        res = run_smc(
+            ssm, obs, args.n_particles, key,
+            ess_threshold=args.ess_threshold, resampling=args.resampling,
+        )
+        print(f"log_evidence: {float(res.log_evidence):.6f}")
+        n_res = int(np.asarray(res.resampled).sum())
+        print(f"resampling epochs: {n_res} / {obs.shape[0]}")
+        w = np.asarray(jax.nn.softmax(res.final_log_weights))
+        states = np.asarray(res.final_states)
+        print(f"final-state mean: {float((w * states).sum()):.5f}")
         return 0
 
     if args.mode == "compile":

@@ -8,12 +8,16 @@ is a JAX pytree with batched ``sample`` / ``log_prob`` / ``cdf``.
 from .base import Distribution, dist_dataclass
 from .continuous import (
     Beta,
+    Cauchy,
     Exponential,
     Gamma,
+    HalfNormal,
     Laplace,
+    LogNormal,
     MinMaxContinuous,
     MultivariateNormalDiag,
     Normal,
+    StudentT,
     Uniform,
 )
 from .discrete import (
@@ -38,6 +42,10 @@ __all__ = [
     "Exponential",
     "MultivariateNormalDiag",
     "MinMaxContinuous",
+    "LogNormal",
+    "HalfNormal",
+    "StudentT",
+    "Cauchy",
     "Categorical",
     "Discrete",
     "UniformInt",

@@ -25,6 +25,10 @@ __all__ = [
     "Exponential",
     "MultivariateNormalDiag",
     "MinMaxContinuous",
+    "LogNormal",
+    "HalfNormal",
+    "StudentT",
+    "Cauchy",
 ]
 
 _HALF_LOG_2PI = 0.9189385332046727417803297364056176
@@ -279,6 +283,137 @@ class MultivariateNormalDiag(Distribution):
     def variance(self):
         s = jnp.broadcast_to(jnp.asarray(self.scale), jnp.shape(self.loc))
         return s * s
+
+
+@dist_dataclass
+class LogNormal(Distribution):
+    """exp(N(loc, scale)) — beyond the reference's set (extension for
+    hierarchical/positive-scale modeling)."""
+
+    loc: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        return jnp.exp(Normal(self.loc, self.scale).sample(key, sample_shape))
+
+    def log_prob(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        safe_x = jnp.maximum(x, jnp.finfo(loc.dtype).tiny)
+        lp = Normal(loc, scale).log_prob(jnp.log(safe_x)) - jnp.log(safe_x)
+        return jnp.where(x > 0, lp, -jnp.inf)
+
+    def cdf(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        safe_x = jnp.maximum(x, jnp.finfo(loc.dtype).tiny)
+        return jnp.where(x > 0, Normal(loc, scale).cdf(jnp.log(safe_x)), 0.0)
+
+    @property
+    def mean(self):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        return jnp.exp(loc + 0.5 * scale * scale)
+
+    @property
+    def variance(self):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        s2 = scale * scale
+        return (jnp.exp(s2) - 1.0) * jnp.exp(2.0 * loc + s2)
+
+
+@dist_dataclass
+class HalfNormal(Distribution):
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        (scale,) = promote_to_result_dtype(self.scale)
+        shape = sample_shape + jnp.shape(scale)
+        return jnp.abs(jax.random.normal(key, shape, dtype=scale.dtype)) * scale
+
+    def log_prob(self, x):
+        (scale,) = promote_to_result_dtype(self.scale)
+        x = jnp.asarray(x, scale.dtype)
+        lp = Normal(0.0, scale).log_prob(x) + jnp.log(2.0)
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+    def cdf(self, x):
+        (scale,) = promote_to_result_dtype(self.scale)
+        x = jnp.asarray(x, scale.dtype)
+        return jnp.where(x >= 0, 2.0 * Normal(0.0, scale).cdf(x) - 1.0, 0.0)
+
+    @property
+    def mean(self):
+        (scale,) = promote_to_result_dtype(self.scale)
+        return scale * jnp.sqrt(2.0 / jnp.pi)
+
+    @property
+    def variance(self):
+        (scale,) = promote_to_result_dtype(self.scale)
+        return scale * scale * (1.0 - 2.0 / jnp.pi)
+
+
+@dist_dataclass
+class StudentT(Distribution):
+    df: jax.Array
+    loc: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        df, loc, scale = promote_to_result_dtype(self.df, self.loc, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(
+            jnp.shape(df), jnp.shape(loc), jnp.shape(scale)
+        )
+        t = jax.random.t(key, df, shape=shape, dtype=loc.dtype)
+        return loc + scale * t
+
+    def log_prob(self, x):
+        df, loc, scale = promote_to_result_dtype(self.df, self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        z = (x - loc) / scale
+        half = 0.5 * (df + 1.0)
+        return (
+            jsp_special.gammaln(half)
+            - jsp_special.gammaln(0.5 * df)
+            - 0.5 * jnp.log(df * jnp.pi)
+            - jnp.log(scale)
+            - half * jnp.log1p(z * z / df)
+        )
+
+    @property
+    def mean(self):
+        df, loc, _ = promote_to_result_dtype(self.df, self.loc, self.scale)
+        return jnp.where(df > 1, loc, jnp.nan)
+
+    @property
+    def variance(self):
+        df, _, scale = promote_to_result_dtype(self.df, self.loc, self.scale)
+        return jnp.where(df > 2, scale * scale * df / (df - 2.0), jnp.nan)
+
+
+@dist_dataclass
+class Cauchy(Distribution):
+    loc: jax.Array
+    scale: jax.Array
+
+    def sample(self, key, sample_shape=()):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        shape = sample_shape + jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
+        return loc + scale * jax.random.cauchy(key, shape, dtype=loc.dtype)
+
+    def log_prob(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        z = (x - loc) / scale
+        return -jnp.log(jnp.pi * scale * (1.0 + z * z))
+
+    def cdf(self, x):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        x = jnp.asarray(x, loc.dtype)
+        return 0.5 + jnp.arctan((x - loc) / scale) / jnp.pi
+
+    def icdf(self, u):
+        loc, scale = promote_to_result_dtype(self.loc, self.scale)
+        return loc + scale * jnp.tan(jnp.pi * (jnp.asarray(u, loc.dtype) - 0.5))
 
 
 @dist_dataclass

@@ -15,12 +15,16 @@ import jax.numpy as jnp
 
 from ..distributions import (
     Beta,
+    Cauchy,
     Exponential,
     Gamma,
+    HalfNormal,
     Laplace,
+    LogNormal,
     MinMaxContinuous,
     MultivariateNormalDiag,
     Normal,
+    StudentT,
     Truncated,
     Uniform,
 )
@@ -74,9 +78,9 @@ def _interval(low, high) -> Transform:
 def biject_for(dist) -> Optional[Transform]:
     """Transform whose image is the support of ``dist``; None for discrete or
     unsupported distributions (those sites cannot be HMC latents)."""
-    if isinstance(dist, (Normal, Laplace, MultivariateNormalDiag)):
+    if isinstance(dist, (Normal, Laplace, MultivariateNormalDiag, StudentT, Cauchy)):
         return IDENTITY
-    if isinstance(dist, (Gamma, Exponential)):
+    if isinstance(dist, (Gamma, Exponential, LogNormal, HalfNormal)):
         return _positive()
     if isinstance(dist, Uniform):
         return _interval(dist.low, dist.high)

@@ -232,3 +232,53 @@ class TestJitVmap:
     def test_grad_through_log_prob(self):
         g = jax.grad(lambda mu: d.Normal(mu, 1.0).log_prob(2.0))(0.0)
         np.testing.assert_allclose(float(g), 2.0, atol=1e-5)
+
+
+class TestExtendedDistributions:
+    """Beyond-reference additions: LogNormal, HalfNormal, StudentT, Cauchy."""
+
+    def test_lognormal(self, key):
+        dist = d.LogNormal(0.5, 0.8)
+        x = np.linspace(0.05, 10, 21, dtype=np.float32)
+        got = np.asarray(dist.log_prob(x))
+        want = sps.lognorm.logpdf(x, 0.8, scale=np.exp(0.5))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        xs = np.asarray(dist.sample(key, (100_000,)))
+        assert abs(xs.mean() - float(dist.mean)) < 0.05 * float(dist.mean)
+        assert np.isneginf(dist.log_prob(-1.0))
+
+    def test_halfnormal(self, key):
+        dist = d.HalfNormal(2.0)
+        x = np.linspace(0.0, 8, 17, dtype=np.float32)
+        got = np.asarray(dist.log_prob(x))
+        want = sps.halfnorm.logpdf(x, scale=2.0)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+        xs = np.asarray(dist.sample(key, (100_000,)))
+        assert xs.min() >= 0
+        assert abs(xs.mean() - 2.0 * np.sqrt(2 / np.pi)) < 0.02
+
+    def test_student_t(self, key):
+        dist = d.StudentT(5.0, 1.0, 2.0)
+        x = np.linspace(-8, 10, 25, dtype=np.float32)
+        got = np.asarray(dist.log_prob(x))
+        want = sps.t.logpdf(x, 5.0, loc=1.0, scale=2.0)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        xs = np.asarray(dist.sample(key, (200_000,)))
+        assert abs(xs.mean() - 1.0) < 0.03
+
+    def test_cauchy(self, key):
+        dist = d.Cauchy(0.5, 1.5)
+        x = np.linspace(-10, 10, 25, dtype=np.float32)
+        got = np.asarray(dist.log_prob(x))
+        want = sps.cauchy.logpdf(x, 0.5, 1.5)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dist.cdf(x)), sps.cauchy.cdf(x, 0.5, 1.5), atol=1e-5
+        )
+        xs = np.asarray(dist.sample(key, (50_000,)))
+        assert abs(np.median(xs) - 0.5) < 0.03
+
+    def test_truncated_cauchy_icdf(self, key):
+        tr = d.Truncated(d.Cauchy(0.0, 1.0), -2.0, 5.0)
+        xs = np.asarray(tr.sample(key, (50_000,)))
+        assert xs.min() >= -2.0 and xs.max() <= 5.0

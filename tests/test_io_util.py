@@ -178,3 +178,13 @@ class TestCLI:
     def test_unknown_model(self):
         r = _run_cli("--model", "nope")
         assert r.returncode == 2
+
+    def test_smc_mode(self):
+        r = _run_cli("--model", "hmm", "-m", "smc", "-n", "4096",
+                     "-o", "[0.9 0.8 0.7 0.0 1.1]")
+        assert r.returncode == 0, r.stderr
+        assert "log_evidence" in r.stdout
+
+    def test_smc_mode_unsupported_model(self):
+        r = _run_cli("--model", "gaussian", "-m", "smc", "-n", "16")
+        assert r.returncode == 2
