@@ -24,7 +24,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_hmm_fused_step", "make_pallas_hmm_ssm", "pallas_available"]
+__all__ = [
+    "pallas_hmm_fused_step",
+    "make_pallas_hmm_ssm",
+    "pallas_lg_fused_step",
+    "make_pallas_lg_ssm",
+    "pallas_available",
+]
 
 _HALF_LOG_2PI = 0.9189385332046727
 # HMM constants (models.hpp:114-141): means (-1, 0, 1), transition rows below.
@@ -115,6 +121,78 @@ def pallas_hmm_fused_step(
         w2,
     )
     return out_s.reshape(n), out_w.reshape(n)
+
+
+def _lg_step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref):
+    """Fused linear-Gaussian step: x' = x + N(0,1) via Box-Muller on hardware
+    bits; log_w += N(y; x', 1) logpdf (models.hpp:67-80 transition/emission)."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(states_ref.shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(states_ref.shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
+    # Box-Muller; clamp u1 away from 0
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    eps = r * jnp.cos(2.0 * jnp.pi * u2)
+
+    x = states_ref[:] + eps
+    y = y_ref[0]
+    d = y - x
+    out_s_ref[:] = x
+    out_w_ref[:] = logw_ref[:] + (-0.5 * d * d - _HALF_LOG_2PI)
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def pallas_lg_fused_step(
+    seed, states, log_w, y, block_r: int = _BLOCK_R, interpret: bool = False
+):
+    """Fused step for the linear-Gaussian SSM; same layout rules as
+    :func:`pallas_hmm_fused_step` but float states."""
+    n = states.shape[0]
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    grid = (r // block_r,)
+    s2 = states.reshape(r, _LANES)
+    w2 = log_w.reshape(r, _LANES)
+    blk = lambda: pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    out_s, out_w = pl.pallas_call(
+        _lg_step_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=[blk(), blk()],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(y, jnp.float32).reshape(1),
+        s2,
+        w2,
+    )
+    return out_s.reshape(n), out_w.reshape(n)
+
+
+def make_pallas_lg_ssm(block_r: int = _BLOCK_R):
+    """Linear-Gaussian SSM with the fused Pallas step installed."""
+    from ..models.linear_gaussian import linear_gaussian_ssm
+
+    def fused(key, states, log_w, y, t):
+        return pallas_lg_fused_step(
+            _key_to_seed(key), states, log_w, y, block_r=block_r
+        )
+
+    import dataclasses
+
+    return dataclasses.replace(linear_gaussian_ssm, fused_step_batch=fused)
 
 
 def _key_to_seed(key):

@@ -65,3 +65,25 @@ def test_pallas_model_structure():
     m = make_pallas_hmm_ssm()
     assert m.fused_step_batch is not None
     assert m.init_sample_batch is not None
+
+
+@tpu_only
+def test_lg_fused_step():
+    from cpprob_tpu.ops.pallas_hmm import pallas_lg_fused_step
+
+    s, w = pallas_lg_fused_step(
+        jnp.int32(5), jnp.zeros((N,)), jnp.zeros((N,)), jnp.float32(0.2)
+    )
+    sn = np.asarray(s)
+    assert abs(sn.mean()) < 0.02 and abs(sn.var() - 1.0) < 0.03
+    d = 0.2 - sn
+    np.testing.assert_allclose(
+        np.asarray(w), -0.5 * d * d - 0.9189385332046727, atol=1e-5
+    )
+
+
+def test_lg_pallas_model_structure():
+    from cpprob_tpu.ops.pallas_hmm import make_pallas_lg_ssm
+
+    m = make_pallas_lg_ssm()
+    assert m.fused_step_batch is not None
