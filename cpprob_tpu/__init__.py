@@ -29,6 +29,7 @@ from .inference import (
     nuts,
     sis,
     smc,
+    smc_sampler,
     svi,
 )
 from .postprocess import EmpiricalDistribution, StatsPrinter
@@ -49,6 +50,7 @@ __all__ = [
     "postprocess",
     "sis",
     "smc",
+    "smc_sampler",
     "CSIS",
     "hmc",
     "nuts",

@@ -151,7 +151,7 @@ def default_process(msg: Dict[str, Any]) -> None:
         elif msg["is_observed"] and msg["log_weight"] is None:
             # conditioned sample site: likelihood contribution
             msg["log_weight"] = dist.log_prob(msg["value"])
-    elif mtype == "observe":
+    elif mtype in ("observe", "metaobserve"):
         if msg["value"] is None:
             # SimulateObserves cleared the value (compile mode): draw it.
             if msg["key"] is None:
@@ -160,8 +160,10 @@ def default_process(msg: Dict[str, Any]) -> None:
                 )
             msg["value"] = msg["dist"].sample(msg["key"])
             msg["log_weight"] = None
-        else:
+        elif mtype == "observe":
             msg["log_weight"] = msg["dist"].log_prob(msg["value"])
+        # metaobserve: no weight contribution outside compile mode
+        # (cpprob.hpp:108-114 — it only records/simulates during compile)
     elif mtype == "factor":
         msg["log_weight"] = msg["value"]
     msg["done"] = True
@@ -198,7 +200,7 @@ class Seed(Messenger):
             n = self._name_counts[base]
             self._name_counts[base] += 1
             msg["name"] = f"{base}#{n}"
-        if msg["type"] in ("sample", "observe") and msg["key"] is None:
+        if msg["type"] in ("sample", "observe", "metaobserve") and msg["key"] is None:
             msg["key"] = self._next_key()
 
 
@@ -224,7 +226,7 @@ class TraceHandler(Messenger):
         self.trace: "collections.OrderedDict[str, Dict[str, Any]]" = collections.OrderedDict()
 
     def postprocess_message(self, msg):
-        if msg["type"] in ("sample", "observe"):
+        if msg["type"] in ("sample", "observe", "metaobserve"):
             name = msg["name"]
             if name in self.trace:
                 # repeated address (loops without scoping): suffix occurrence
@@ -342,7 +344,7 @@ class SimulateObserves(Messenger):
     ``StateCompile::add_observe(distr(rng))``)."""
 
     def process_message(self, msg):
-        if msg["type"] == "observe":
+        if msg["type"] in ("observe", "metaobserve"):
             msg["value"] = None  # force a draw in default_process
 
 

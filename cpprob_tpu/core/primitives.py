@@ -79,9 +79,13 @@ def factor(log_factor, addr: Optional[str] = None):
 
 def metaobserve(dist, value, *, addr: Optional[str] = None):
     """Observe of a metaprior-drawn model argument (``cpprob.hpp:108-114``):
-    identical to :func:`observe`; kept as a separate site type tag for
-    compile-mode trace consumers."""
-    return observe(dist, value, addr=addr)
+    simulated like an observe in compile mode (so trace generation draws the
+    argument), but contributes **nothing** to the inference log-weight — the
+    reference's metaobserve is a no-op outside compile mode."""
+    if not handlers.current_stack():
+        return value
+    msg = new_message("metaobserve", addr, dist=dist, value=value, is_observed=True)
+    return apply_stack(msg)["value"]
 
 
 @contextlib.contextmanager

@@ -16,6 +16,7 @@ from .continuous import (
     LogNormal,
     MinMaxContinuous,
     MultivariateNormalDiag,
+    MultivariateNormalFull,
     Normal,
     StudentT,
     Uniform,
@@ -41,6 +42,7 @@ __all__ = [
     "Laplace",
     "Exponential",
     "MultivariateNormalDiag",
+    "MultivariateNormalFull",
     "MinMaxContinuous",
     "LogNormal",
     "HalfNormal",

@@ -24,6 +24,7 @@ __all__ = [
     "Laplace",
     "Exponential",
     "MultivariateNormalDiag",
+    "MultivariateNormalFull",
     "MinMaxContinuous",
     "LogNormal",
     "HalfNormal",
@@ -283,6 +284,52 @@ class MultivariateNormalDiag(Distribution):
     def variance(self):
         s = jnp.broadcast_to(jnp.asarray(self.scale), jnp.shape(self.loc))
         return s * s
+
+
+@dist_dataclass
+class MultivariateNormalFull(Distribution):
+    """Full-covariance MVN, Cholesky-parameterized (beyond the reference's
+    diagonal-only ``multivariate_normal_distribution``).  ``scale_tril`` is
+    the lower-triangular Cholesky factor of the covariance."""
+
+    loc: jax.Array         # (..., d)
+    scale_tril: jax.Array  # (..., d, d) lower triangular
+
+    event_ndim = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @classmethod
+    def from_covariance(cls, loc, cov):
+        return cls(jnp.asarray(loc), jnp.linalg.cholesky(jnp.asarray(cov)))
+
+    def sample(self, key, sample_shape=()):
+        loc, = promote_to_result_dtype(self.loc)
+        tril = jnp.asarray(self.scale_tril, loc.dtype)
+        shape = sample_shape + jnp.shape(loc)
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + jnp.einsum("...ij,...j->...i", tril, eps)
+
+    def log_prob(self, x):
+        loc, = promote_to_result_dtype(self.loc)
+        tril = jnp.asarray(self.scale_tril, loc.dtype)
+        x = jnp.asarray(x, loc.dtype)
+        d = jnp.shape(loc)[-1]
+        diff = x - loc
+        z = jax.scipy.linalg.solve_triangular(tril, diff[..., None], lower=True)[..., 0]
+        log_det = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(tril, axis1=-2, axis2=-1))), axis=-1)
+        return -0.5 * jnp.sum(z * z, axis=-1) - log_det - d * _HALF_LOG_2PI
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.loc)
+
+    @property
+    def variance(self):
+        tril = jnp.asarray(self.scale_tril)
+        return jnp.sum(tril * tril, axis=-1)
 
 
 @dist_dataclass

@@ -12,12 +12,15 @@ from .nuts import nuts
 from .potential import FlatModel, flatten_model
 from .sis import ImportanceResult, make_particle_fn, make_prior_fn, sis
 from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
+from .smc_sampler import TemperedSMCResult, smc_sampler
 from .svi import SVIResult, svi
 
 __all__ = [
     "sis",
     "smc",
     "build_smc_run",
+    "smc_sampler",
+    "TemperedSMCResult",
     "CSIS",
     "hmc",
     "nuts",

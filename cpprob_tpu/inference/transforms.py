@@ -23,6 +23,7 @@ from ..distributions import (
     LogNormal,
     MinMaxContinuous,
     MultivariateNormalDiag,
+    MultivariateNormalFull,
     Normal,
     StudentT,
     Truncated,
@@ -78,7 +79,8 @@ def _interval(low, high) -> Transform:
 def biject_for(dist) -> Optional[Transform]:
     """Transform whose image is the support of ``dist``; None for discrete or
     unsupported distributions (those sites cannot be HMC latents)."""
-    if isinstance(dist, (Normal, Laplace, MultivariateNormalDiag, StudentT, Cauchy)):
+    if isinstance(dist, (Normal, Laplace, MultivariateNormalDiag,
+                         MultivariateNormalFull, StudentT, Cauchy)):
         return IDENTITY
     if isinstance(dist, (Gamma, Exponential, LogNormal, HalfNormal)):
         return _positive()

@@ -282,3 +282,15 @@ class TestExtendedDistributions:
         tr = d.Truncated(d.Cauchy(0.0, 1.0), -2.0, 5.0)
         xs = np.asarray(tr.sample(key, (50_000,)))
         assert xs.min() >= -2.0 and xs.max() <= 5.0
+
+    def test_mvn_full(self, key):
+        cov = np.array([[2.0, 0.8], [0.8, 1.0]], np.float32)
+        loc = np.array([1.0, -1.0], np.float32)
+        dist = d.MultivariateNormalFull.from_covariance(loc, cov)
+        x = np.array([0.5, 0.0], np.float32)
+        got = float(dist.log_prob(x))
+        want = sps.multivariate_normal.logpdf(x, loc, cov)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        xs = np.asarray(dist.sample(key, (200_000,)))
+        np.testing.assert_allclose(xs.mean(0), loc, atol=0.02)
+        np.testing.assert_allclose(np.cov(xs.T), cov, atol=0.03)
