@@ -105,6 +105,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile-mode training steps")
     p.add_argument("--ckpt-dir", default=None,
                    help="save/load the proposal network here")
+    p.add_argument("--dump-traces-dir", default=None,
+                   help="compile: dump prior-trace shards here instead of "
+                        "training (cpprob::compile dump_folder)")
+    p.add_argument("--traces-dir", default=None,
+                   help="compile: train offline from shards in this dir "
+                        "(infcomp --traces_dir)")
+    p.add_argument("--n-traces", type=int, default=65536,
+                   help="number of traces to dump with --dump-traces-dir")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="compile: optimizer steps per dispatch")
     p.add_argument("--dump-path", default=None,
                    help="posterior dump path (reference text layout)")
     p.add_argument("--npz", action="store_true", help="dump npz instead of text")
@@ -205,11 +215,34 @@ def main(argv=None) -> int:
 
     if args.mode == "compile":
         engine = CSIS(model, template)
+        if args.dump_traces_dir:
+            paths = engine.dump_traces(
+                args.dump_traces_dir, key, args.n_traces, args.batch_size * 16
+            )
+            print(f"dumped {args.n_traces} traces in {len(paths)} shards to "
+                  f"{args.dump_traces_dir}", file=sys.stderr)
+            return 0
         logger = TrainLogger(print_every=max(args.steps // 10, 1))
-        params, losses = engine.compile(
-            key, steps=args.steps, batch_size=args.batch_size,
-            log_fn=logger.log,
-        )
+        if args.traces_dir:
+            import glob
+
+            from .io.tracefile import TraceLoader
+
+            paths = sorted(glob.glob(f"{args.traces_dir}/*.cptt"))
+            if not paths:
+                print(f"no .cptt shards in {args.traces_dir}", file=sys.stderr)
+                return 2
+            loader = TraceLoader(paths, batch_size=args.batch_size,
+                                 seed=args.seed)
+            params, losses = engine.compile_offline(
+                loader, key, steps=args.steps, log_fn=logger.log,
+            )
+            loader.close()
+        else:
+            params, losses = engine.compile(
+                key, steps=args.steps, batch_size=args.batch_size,
+                log_fn=logger.log, unroll=args.unroll,
+            )
         if args.ckpt_dir:
             path = save_pytree(f"{args.ckpt_dir}/ckpt-final", params)
             print(f"saved proposal network to {path}", file=sys.stderr)

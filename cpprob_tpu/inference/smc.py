@@ -65,6 +65,10 @@ class StateSpaceModel:
     # hardware RNG): (key, states, log_w, y, t) -> (new_states, new_log_w).
     # Takes precedence over the other step paths in unguided SMC.
     fused_step_batch: Optional[Callable] = None
+    # Like fused_step_batch but also emits the Kish ESS of the new weights
+    # (from in-kernel streaming partials): (...) -> (s', w', ess').  Saves the
+    # engine's per-step reduction passes; preferred when present.
+    fused_step_ess_batch: Optional[Callable] = None
     # Emission simulator (key, state, t) -> y, needed to train amortized
     # proposals on prior rollouts (compile-mode analogue for SSMs).
     obs_sample: Optional[Callable] = None
@@ -105,21 +109,22 @@ def make_smc_step(
     resampler: Callable,
     store_history: bool = True,
 ):
-    """Build the scan body: (key, states, log_w, log_Z), y_t -> advanced carry.
+    """Build the scan body: (key, states, log_w, log_Z, ess), y_t -> carry.
 
-    Resampling first (adaptive, on the incoming weights), then propagation and
-    reweighting — the standard SMC sweep.  Both ``lax.cond`` branches are
-    shape-static; the no-resample branch performs an identity gather so the
-    compiled program has one code path.
+    Resampling first (adaptive, on the **carried** ESS of the incoming
+    weights — computed at the end of the previous step so fused kernels can
+    emit it from in-VMEM partials), then propagation and reweighting.  Both
+    ``lax.cond`` branches are shape-static; the no-resample branch performs an
+    identity gather so the compiled program has one code path.
     """
     guided = model.proposal_sample is not None
 
     def step(carry, y_t_and_t):
         y_t, t = y_t_and_t
-        key, states, log_w, log_z = carry
+        key, states, log_w, log_z, ess = carry
         key, k_res, k_prop = jax.random.split(key, 3)
 
-        do_resample = _ess(log_w) < ess_threshold * n_particles
+        do_resample = ess < ess_threshold * n_particles
 
         def resample_branch(_):
             anc = resampler(k_res, log_w)
@@ -135,46 +140,49 @@ def make_smc_step(
             do_resample, resample_branch, keep_branch, operand=None
         )
 
-        if not guided and model.fused_step_batch is not None:
-            new_states, new_log_w = model.fused_step_batch(
+        if not guided and model.fused_step_ess_batch is not None:
+            new_states, new_log_w, new_ess = model.fused_step_ess_batch(
                 k_prop, states_r, log_w_r, y_t, t
             )
-            if store_history:
-                ys = (new_states, new_log_w, anc, do_resample)
+        else:
+            if not guided and model.fused_step_batch is not None:
+                new_states, new_log_w = model.fused_step_batch(
+                    k_prop, states_r, log_w_r, y_t, t
+                )
             else:
-                ys = (do_resample,)
-            return (key, new_states, new_log_w, log_z_r), ys
+                if guided:
+                    prop_keys = jax.random.split(k_prop, n_particles)
+                    new_states = jax.vmap(
+                        lambda k, s: model.proposal_sample(k, s, t, y_t)
+                    )(prop_keys, states_r)
+                    rn = jax.vmap(
+                        lambda ns, s: model.step_logpdf(ns, s, t)
+                        - model.proposal_logpdf(ns, s, t, y_t)
+                    )(new_states, states_r)
+                elif model.step_sample_batch is not None:
+                    new_states = model.step_sample_batch(k_prop, states_r, t)
+                    rn = jnp.zeros_like(log_w_r)
+                else:
+                    prop_keys = jax.random.split(k_prop, n_particles)
+                    new_states = jax.vmap(
+                        lambda k, s: model.step_sample(k, s, t)
+                    )(prop_keys, states_r)
+                    rn = jnp.zeros_like(log_w_r)
 
-        if guided:
-            prop_keys = jax.random.split(k_prop, n_particles)
-            new_states = jax.vmap(
-                lambda k, s: model.proposal_sample(k, s, t, y_t)
-            )(prop_keys, states_r)
-            rn = jax.vmap(
-                lambda ns, s: model.step_logpdf(ns, s, t)
-                - model.proposal_logpdf(ns, s, t, y_t)
-            )(new_states, states_r)
-        elif model.step_sample_batch is not None:
-            new_states = model.step_sample_batch(k_prop, states_r, t)
-            rn = jnp.zeros_like(log_w_r)
-        else:
-            prop_keys = jax.random.split(k_prop, n_particles)
-            new_states = jax.vmap(lambda k, s: model.step_sample(k, s, t))(
-                prop_keys, states_r
-            )
-            rn = jnp.zeros_like(log_w_r)
-
-        if model.obs_logpdf_batch is not None:
-            obs_lp = model.obs_logpdf_batch(new_states, y_t, t)
-        else:
-            obs_lp = jax.vmap(lambda s: model.obs_logpdf(s, y_t, t))(new_states)
-        new_log_w = log_w_r + rn + obs_lp
+                if model.obs_logpdf_batch is not None:
+                    obs_lp = model.obs_logpdf_batch(new_states, y_t, t)
+                else:
+                    obs_lp = jax.vmap(
+                        lambda s: model.obs_logpdf(s, y_t, t)
+                    )(new_states)
+                new_log_w = log_w_r + rn + obs_lp
+            new_ess = _ess(new_log_w)
 
         if store_history:
             ys = (new_states, new_log_w, anc, do_resample)
         else:
             ys = (do_resample,)
-        return (key, new_states, new_log_w, log_z_r), ys
+        return (key, new_states, new_log_w, log_z_r, new_ess), ys
 
     return step
 
@@ -223,8 +231,8 @@ def build_smc_run(
             )(states0)
 
         ts = jnp.arange(1, observations.shape[0])
-        carry0 = (key, states0, log_w0, jnp.zeros(()))
-        (key_f, states_f, log_w_f, log_z), ys = jax.lax.scan(
+        carry0 = (key, states0, log_w0, jnp.zeros(()), _ess(log_w0))
+        (key_f, states_f, log_w_f, log_z, _ess_f), ys = jax.lax.scan(
             step, carry0, (observations[1:], ts)
         )
         log_z = log_z + _log_mean_exp(log_w_f)

@@ -59,7 +59,8 @@ def _select3(idx, v0, v1, v2):
     return jnp.where(idx == 0, v0, jnp.where(idx == 1, v1, v2))
 
 
-def _step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref):
+def _step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref,
+                 part_ref):
     i = pl.program_id(0)
     # decorrelate blocks with a Weyl-sequence offset on the seed
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
@@ -74,8 +75,36 @@ def _step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref):
     y = y_ref[0]
     mean = _select3(new_s, _MEANS[0], _MEANS[1], _MEANS[2])
     d = y - mean
+    new_w = logw_ref[:] + (-0.5 * d * d - _HALF_LOG_2PI)
     out_s_ref[:] = new_s
-    out_w_ref[:] = logw_ref[:] + (-0.5 * d * d - _HALF_LOG_2PI)
+    out_w_ref[:] = new_w
+    # streaming-ESS partials for this block: (max, sum exp, sum exp^2) —
+    # computed while the weights are still in VMEM, so the engine's ESS check
+    # costs no extra HBM pass
+    m = jnp.max(new_w)
+    e = jnp.exp(new_w - m)
+    # Each program owns one (8, 128) partials block (min f32 tile); the three
+    # statistics go in lanes 0..2 of row 0, built with an iota select (no
+    # scatter in Mosaic).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    row = jnp.where(
+        (rowid == 0) & (lane == 0), m,
+        jnp.where((rowid == 0) & (lane == 1), jnp.sum(e),
+                  jnp.where((rowid == 0) & (lane == 2), jnp.sum(e * e), 0.0)),
+    )
+    part_ref[:, :] = row
+
+
+def ess_from_partials(partials: jax.Array) -> jax.Array:
+    """Combine per-block (max, sum e, sum e^2) into the global Kish ESS.
+    ``partials``: (n_blocks*8, 128); block i's stats sit at row 8i, lanes 0-2."""
+    partials = partials[::8]
+    m_b, s1_b, s2_b = partials[:, 0], partials[:, 1], partials[:, 2]
+    m = jnp.max(m_b)
+    s1 = jnp.sum(s1_b * jnp.exp(m_b - m))
+    s2 = jnp.sum(s2_b * jnp.exp(2.0 * (m_b - m)))
+    return s1 * s1 / jnp.maximum(s2, 1e-38)
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
@@ -84,15 +113,30 @@ def pallas_hmm_fused_step(
 ):
     """One fused transition+reweight step.  ``states``: (N,) int32 in {0,1,2};
     ``log_w``: (N,) f32; ``seed``: int32 scalar; ``y``: f32 scalar.
-    N must be a multiple of 128*block_r.  ``interpret=True`` runs the Pallas
-    interpreter (CPU debugging/tests)."""
+    Returns (new_states, new_log_w).  N must be a multiple of 128*block_r.
+    ``interpret=True`` runs the Pallas interpreter (CPU debugging/tests)."""
+    s, w, _ = pallas_hmm_fused_step_ess(
+        seed, states, log_w, y, block_r=block_r, interpret=interpret
+    )
+    return s, w
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def pallas_hmm_fused_step_ess(
+    seed, states, log_w, y, block_r: int = _BLOCK_R, interpret: bool = False
+):
+    """Fused step that also returns the Kish ESS of the new weights (computed
+    from per-block streaming partials emitted by the kernel — saves the two
+    full-population reduction passes the engine would otherwise spend on the
+    resampling trigger)."""
     n = states.shape[0]
     r = n // _LANES
     assert r * _LANES == n and r % block_r == 0, (n, block_r)
-    grid = (r // block_r,)
+    n_blocks = r // block_r
+    grid = (n_blocks,)
     s2 = states.reshape(r, _LANES)
     w2 = log_w.reshape(r, _LANES)
-    out_s, out_w = pl.pallas_call(
+    out_s, out_w, partials = pl.pallas_call(
         _step_kernel,
         grid=grid,
         in_specs=[
@@ -108,10 +152,14 @@ def pallas_hmm_fused_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            # per-program (8, 128) partials block
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -120,7 +168,7 @@ def pallas_hmm_fused_step(
         s2,
         w2,
     )
-    return out_s.reshape(n), out_w.reshape(n)
+    return out_s.reshape(n), out_w.reshape(n), ess_from_partials(partials)
 
 
 def _lg_step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref):
@@ -217,6 +265,13 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
             _key_to_seed(key), states, log_w, y, block_r=block_r
         )
 
+    def fused_ess(key, states, log_w, y, t):
+        return pallas_hmm_fused_step_ess(
+            _key_to_seed(key), states, log_w, y, block_r=block_r
+        )
+
     import dataclasses
 
-    return dataclasses.replace(hmm_ssm, fused_step_batch=fused)
+    return dataclasses.replace(
+        hmm_ssm, fused_step_batch=fused, fused_step_ess_batch=fused_ess
+    )

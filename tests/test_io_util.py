@@ -188,3 +188,19 @@ class TestCLI:
     def test_smc_mode_unsupported_model(self):
         r = _run_cli("--model", "gaussian", "-m", "smc", "-n", "16")
         assert r.returncode == 2
+
+    def test_offline_compile_pipeline(self, tmp_path):
+        shards = str(tmp_path / "shards")
+        ck = str(tmp_path / "nn")
+        r = _run_cli("--model", "gaussian", "-m", "compile",
+                     "--dump-traces-dir", shards, "--n-traces", "2048",
+                     "--batch-size", "64")
+        assert r.returncode == 0, r.stderr
+        r = _run_cli("--model", "gaussian", "-m", "compile",
+                     "--traces-dir", shards, "--steps", "60",
+                     "--batch-size", "128", "--ckpt-dir", ck)
+        assert r.returncode == 0, r.stderr
+        r = _run_cli("--model", "gaussian", "-m", "csis", "-n", "2000",
+                     "-o", "3.0 4.0", "--ckpt-dir", ck)
+        assert r.returncode == 0, r.stderr
+        assert "Mean" in r.stdout
