@@ -19,7 +19,14 @@ from typing import Any, Optional, Tuple
 import jax
 import numpy as np
 
-__all__ = ["save_pytree", "load_pytree", "latest_checkpoint", "periodic_saver"]
+__all__ = [
+    "save_pytree",
+    "load_pytree",
+    "latest_checkpoint",
+    "periodic_saver",
+    "save_pytree_orbax",
+    "load_pytree_orbax",
+]
 
 
 def save_pytree(path: str, tree: Any) -> str:
@@ -52,6 +59,27 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt") -> Optional[str]:
     """Most recent ``<prefix>-*.npz`` in ``directory`` (the --resume rule)."""
     paths = glob.glob(os.path.join(directory, f"{prefix}-*.npz"))
     return max(paths, key=os.path.getmtime) if paths else None
+
+
+def save_pytree_orbax(path: str, tree: Any) -> str:
+    """Orbax-backed checkpoint (sharding-aware; the multi-host-safe backend —
+    each process writes its shard).  Requires an absolute path."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(path, tree)
+    return path
+
+
+def load_pytree_orbax(path: str, like: Any = None) -> Any:
+    """Restore an orbax checkpoint; ``like`` (optional) provides the target
+    structure/shardings for restoration on a different topology."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), item=like)
+    return ckptr.restore(os.path.abspath(path))
 
 
 class periodic_saver:

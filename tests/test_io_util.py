@@ -204,3 +204,14 @@ class TestCLI:
                      "-o", "3.0 4.0", "--ckpt-dir", ck)
         assert r.returncode == 0, r.stderr
         assert "Mean" in r.stdout
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from cpprob_tpu.util import load_pytree_orbax, save_pytree_orbax
+
+        tree = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+        p = save_pytree_orbax(str(tmp_path / "ock"), tree)
+        out = load_pytree_orbax(p)
+        np.testing.assert_allclose(np.asarray(out["w"]), [0, 1, 2, 3])
+        np.testing.assert_allclose(np.asarray(out["b"]), [1, 1])
