@@ -10,13 +10,21 @@ from .csis import CSIS
 from .hmc import HMCResult, hmc
 from .nuts import nuts
 from .potential import FlatModel, flatten_model
-from .sis import ImportanceResult, make_particle_fn, make_prior_fn, sis
+from .sis import (
+    ImportanceResult,
+    StreamingResult,
+    make_particle_fn,
+    make_prior_fn,
+    sis,
+    sis_streaming,
+)
 from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
 from .smc_sampler import TemperedSMCResult, smc_sampler
 from .svi import SVIResult, svi
 
 __all__ = [
     "sis",
+    "sis_streaming",
     "smc",
     "build_smc_run",
     "smc_sampler",

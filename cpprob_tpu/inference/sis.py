@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 from ..core import handlers
 
-__all__ = ["make_particle_fn", "make_prior_fn", "sis", "ImportanceResult"]
+__all__ = [
+    "make_particle_fn",
+    "make_prior_fn",
+    "sis",
+    "sis_streaming",
+    "ImportanceResult",
+    "StreamingResult",
+]
 
 
 def make_particle_fn(
@@ -119,6 +126,93 @@ class ImportanceResult:
 
     def variance(self, name: str) -> jax.Array:
         return self.empirical(name).variance
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamingResult:
+    """Constant-memory SIS summary: log-evidence, ESS, and weighted
+    mean/variance per predict — no per-particle storage."""
+
+    log_evidence: jax.Array
+    ess: jax.Array
+    means: Dict[str, jax.Array]
+    variances: Dict[str, jax.Array]
+    n_particles: int = dataclasses.field(metadata={"static": True})
+
+    def mean(self, name):
+        return self.means[name]
+
+    def variance(self, name):
+        return self.variances[name]
+
+
+def sis_streaming(
+    model: Callable,
+    args: Tuple,
+    n_particles: int,
+    key: jax.Array,
+    batch_size: int,
+    *,
+    proposal_messenger: Optional[Callable[[], Any]] = None,
+    jit: bool = True,
+) -> StreamingResult:
+    """SIS with **streaming** weighted-moment accumulation: particles run in
+    chunks of ``batch_size`` under ``lax.scan`` and only running sums survive
+    — memory is O(batch_size), so particle counts are bounded by time, not
+    HBM (the reference's append-per-trace files are the disk analogue;
+    state.cpp:262-267).  Uses the online max-shift logsumexp merge for
+    stability at any scale."""
+    if n_particles % batch_size != 0:
+        raise ValueError("n_particles must be divisible by batch_size")
+    n_chunks = n_particles // batch_size
+    particle = make_particle_fn(model, args, proposal_messenger=proposal_messenger)
+
+    def chunk_stats(keys):
+        log_w, predicts = jax.vmap(particle)(keys)
+        m = jnp.max(log_w)
+        w = jnp.exp(log_w - m)
+        s0 = jnp.sum(w)
+        s0_sq = jnp.sum(w * w)
+        sums = {}
+        sqs = {}
+        for name, vals in predicts.items():
+            vals = jnp.asarray(vals, jnp.float32)
+            wshape = w.reshape((batch_size,) + (1,) * (vals.ndim - 1))
+            sums[name] = jnp.sum(wshape * vals, axis=0)
+            sqs[name] = jnp.sum(wshape * vals * vals, axis=0)
+        return m, s0, s0_sq, sums, sqs
+
+    def run(key):
+        keys = jax.random.split(key, n_particles).reshape(n_chunks, batch_size)
+
+        m0, s0_0, sq0, sums0, sqs0 = chunk_stats(keys[0])
+
+        def body(carry, ks):
+            m, s0, s0_sq, sums, sqs = carry
+            mc, c0, c0_sq, csums, csqs = chunk_stats(ks)
+            new_m = jnp.maximum(m, mc)
+            a = jnp.exp(m - new_m)
+            b = jnp.exp(mc - new_m)
+            s0 = s0 * a + c0 * b
+            s0_sq = s0_sq * a * a + c0_sq * b * b
+            sums = {k: sums[k] * a + csums[k] * b for k in sums}
+            sqs = {k: sqs[k] * a + csqs[k] * b for k in sqs}
+            return (new_m, s0, s0_sq, sums, sqs), None
+
+        (m, s0, s0_sq, sums, sqs), _ = jax.lax.scan(
+            body, (m0, s0_0, sq0, sums0, sqs0), keys[1:]
+        )
+        log_z = m + jnp.log(s0) - jnp.log(float(n_particles))
+        ess = (s0 * s0) / jnp.maximum(s0_sq, 1e-38)
+        means = {k: sums[k] / s0 for k in sums}
+        variances = {k: sqs[k] / s0 - means[k] ** 2 for k in sums}
+        return log_z, ess, means, variances
+
+    if jit:
+        run = jax.jit(run)
+    log_z, ess, means, variances = run(key)
+    return StreamingResult(log_z, ess, means, variances, n_particles)
 
 
 def sis(

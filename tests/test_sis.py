@@ -132,3 +132,35 @@ def test_ess_and_stats_printer(key):
     assert 0 < float(res.ess) <= 10_000
     text = ct.StatsPrinter(res).print()
     assert "Mean" in text
+
+
+def test_streaming_matches_batch(key):
+    from cpprob_tpu.inference.sis import sis_streaming
+
+    res = ct.sis(gaussian_unknown_mean_readme, (3.0, 4.0), 65536, key)
+    stream = sis_streaming(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 65536, key, batch_size=4096
+    )
+    np.testing.assert_allclose(
+        float(stream.mean("Mean")), float(res.mean("Mean")), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(stream.variance("Mean")), float(res.variance("Mean")), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(stream.log_evidence), float(res.log_evidence), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(stream.ess), float(res.ess), rtol=1e-3
+    )
+
+
+def test_streaming_hmm_vector_predicts(key):
+    from cpprob_tpu.inference.sis import sis_streaming
+
+    obs = np.array([0.9, 0.8, -1.0], np.float32)
+    res = ct.sis(hmm, (obs,), 16384, key)
+    stream = sis_streaming(hmm, (obs,), 16384, key, batch_size=2048)
+    got = np.asarray(stream.mean("State"))
+    want = np.asarray(res.mean("State"))
+    np.testing.assert_allclose(got, want, atol=1e-3)
