@@ -7,6 +7,7 @@ from .resampling import (
     systematic_resample,
 )
 from .csis import CSIS
+from .chees import chees_hmc
 from .hmc import HMCResult, hmc
 from .nuts import nuts
 from .potential import FlatModel, flatten_model
@@ -31,6 +32,7 @@ __all__ = [
     "TemperedSMCResult",
     "CSIS",
     "hmc",
+    "chees_hmc",
     "nuts",
     "HMCResult",
     "svi",

@@ -67,3 +67,38 @@ def test_matches_hmc_moments(key):
     mn = float(np.mean(np.asarray(res_n.samples["mu"])))
     mh = float(np.mean(np.asarray(res_h.samples["mu"])))
     assert abs(mn - mh) < 0.1
+
+
+class TestChEES:
+    def test_conjugate_gaussian(self, key):
+        from cpprob_tpu.inference.chees import chees_hmc
+
+        res = chees_hmc(
+            gaussian_unknown_mean_readme, (3.0, 4.0), key,
+            n_samples=1200, n_warmup=600, n_chains=16, max_leapfrog=32,
+        )
+        mus = np.asarray(res.samples["mu"]).reshape(-1)
+        assert abs(mus.mean() - 2.32353) < 0.05
+        assert abs(mus.var() - 1.05882) < 0.12
+        assert float(res.accept_rate.mean()) > 0.5
+
+    def test_anisotropic_efficiency(self, key):
+        """ChEES-adapted trajectories should mix the wide dimension at least
+        as well as short fixed trajectories."""
+        from cpprob_tpu.inference.chees import chees_hmc
+        from cpprob_tpu.postprocess import effective_sample_size
+
+        def m():
+            ct.sample(
+                MultivariateNormalDiag(
+                    jnp.array([0.0, 0.0]), jnp.array([10.0, 1.0])
+                ),
+                addr="x",
+            )
+
+        res = chees_hmc(m, (), key, n_samples=1500, n_warmup=800,
+                        n_chains=16, max_leapfrog=64)
+        xs = res.samples["x"]  # (chains, samples, 2)
+        ess_wide = float(effective_sample_size(xs[..., 0]))
+        assert ess_wide > 1500  # mixes the sigma=10 dimension well
+        assert abs(float(jnp.std(xs[..., 0])) - 10.0) < 1.5
