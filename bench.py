@@ -28,7 +28,47 @@ def main():
     ap.add_argument("--steps", type=int, default=16, help="HMM length T")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
+    ap.add_argument("--watchdog", type=int, default=1200,
+                    help="seconds before the parent assumes the TPU tunnel is "
+                         "wedged and emits an error JSON line (0 = off)")
+    ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.watchdog and not args._worker:
+        # The dev-tunnel TPU attachment can wedge so hard that even backend
+        # init hangs; run the real benchmark in a child so this process can
+        # always print its one JSON line.
+        import subprocess
+
+        child_args = [sys.executable, os.path.abspath(__file__), "--_worker",
+                      "--watchdog", "0"] + [
+            a for a in sys.argv[1:] if a != "--_worker"
+        ]
+        try:
+            proc = subprocess.run(
+                child_args, timeout=args.watchdog, capture_output=True,
+                text=True,
+            )
+            out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if out:
+                print(out[-1])
+                return
+            err = (proc.stderr or "")[-400:]
+            print(json.dumps({
+                "metric": "smc_hmm_particle_steps_per_sec_per_chip",
+                "value": 0.0, "unit": "particle-steps/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"bench worker produced no result: {err}",
+            }))
+            return
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": "smc_hmm_particle_steps_per_sec_per_chip",
+                "value": 0.0, "unit": "particle-steps/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"TPU unresponsive for {args.watchdog}s (tunnel wedged)",
+            }))
+            return
 
     from cpprob_tpu.inference.smc import build_smc_run
     from cpprob_tpu.models import HMM_MEANS, HMM_TRANS, hmm_ssm
