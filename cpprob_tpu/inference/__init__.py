@@ -11,6 +11,7 @@ from .chees import chees_hmc
 from .hmc import HMCResult, hmc
 from .nuts import nuts
 from .potential import FlatModel, flatten_model
+from .predictive import posterior_predictive, prior_predictive
 from .sis import (
     ImportanceResult,
     StreamingResult,
@@ -20,6 +21,7 @@ from .sis import (
     sis_streaming,
 )
 from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
+from .smc2 import ParamSSM, SMC2Result, smc2
 from .smc_sampler import TemperedSMCResult, smc_sampler
 from .svi import SVIResult, svi
 
@@ -29,6 +31,9 @@ __all__ = [
     "smc",
     "build_smc_run",
     "smc_sampler",
+    "smc2",
+    "ParamSSM",
+    "SMC2Result",
     "TemperedSMCResult",
     "CSIS",
     "hmc",
@@ -38,6 +43,8 @@ __all__ = [
     "svi",
     "SVIResult",
     "flatten_model",
+    "posterior_predictive",
+    "prior_predictive",
     "FlatModel",
     "ImportanceResult",
     "SMCResult",

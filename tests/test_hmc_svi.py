@@ -182,3 +182,33 @@ class TestDiagnostics:
                 x[c, t] = 0.95 * x[c, t - 1] + rng.normal() * 0.3
         ess = float(effective_sample_size(jnp.asarray(x)))
         assert ess < 500  # strongly autocorrelated
+
+
+class TestPredictive:
+    def test_posterior_predictive(self, key):
+        from cpprob_tpu.inference.predictive import posterior_predictive
+        from cpprob_tpu.inference.svi import svi
+
+        res = svi(gaussian_unknown_mean_readme, (3.0, 4.0), key, steps=1500)
+        samples = res.sample(jax.random.key(2), 4000)
+        obs_rep, predicts = posterior_predictive(
+            gaussian_unknown_mean_readme, (3.0, 4.0), samples,
+            jax.random.key(3),
+        )
+        y1 = np.asarray(obs_rep["y1"])
+        assert y1.shape == (4000,)
+        # predictive mean ~ posterior mean; predictive var ~ post var + lik var
+        assert abs(y1.mean() - 2.32353) < 0.2
+        assert abs(y1.var() - (1.05882 + 4.0)) < 0.5
+
+    def test_prior_predictive(self, key):
+        from cpprob_tpu.inference.predictive import prior_predictive
+
+        latents, obs = prior_predictive(
+            gaussian_unknown_mean_readme, (0.0, 0.0), 8000, key
+        )
+        mu = np.asarray(latents["mu"])
+        assert abs(mu.mean() - 1.0) < 0.1
+        assert abs(mu.std() - 1.5) < 0.1
+        y = np.asarray(obs["y1"])
+        assert abs(y.var() - (1.5**2 + 4.0)) < 0.4
