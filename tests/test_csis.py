@@ -195,3 +195,30 @@ def test_masked_variable_structure(key):
     ys = jnp.full((MAXN,), 1.2)
     res = eng.infer(params, (ys,), 4000, key)
     assert np.isfinite(float(res.mean("Mu")))
+
+
+def test_mdn_head_covers_bimodal_posterior(key):
+    """y = x^2 + noise gives a bimodal posterior over x: the single-Gaussian
+    head collapses to one mode; the mixture-density head must keep both."""
+
+    def m(y):
+        x = ct.sample(Normal(0.0, 2.0), addr="x")
+        ct.observe(Normal(x * x, 0.5), y, addr="y")
+        ct.predict(x, "X")
+
+    # true posterior modes near +/- sqrt(4) = +/- 2 for y = 4
+    eng = CSIS(m, (0.0,), mdn_components=5)
+    assert eng.structure.sites[0].kind == "mdn"
+    params, losses = eng.compile(jax.random.key(0), steps=400, batch_size=256)
+    assert float(losses[-1]) < float(losses[0])
+    res = eng.infer(params, (4.0,), 20_000, key)
+    xs = np.asarray(res.predicts["X"])
+    w = np.asarray(res.normalized_weights)
+    frac_pos = float(np.sum(w * (xs > 0)))
+    assert 0.15 < frac_pos < 0.85, f"mode collapse: frac_pos={frac_pos}"
+    # posterior |x| concentrated near 2
+    mean_abs = float(np.sum(w * np.abs(xs)))
+    assert abs(mean_abs - 2.0) < 0.15
+    # MDN guided ESS beats prior SIS
+    res_p = ct.sis(m, (4.0,), 20_000, key)
+    assert float(res.ess) > 2.0 * float(res_p.ess)
