@@ -40,10 +40,20 @@ def main():
         # always print its one JSON line.
         import subprocess
 
+        fwd = []
+        skip = False
+        for a in sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--watchdog":
+                skip = True
+                continue
+            if a.startswith("--watchdog=") or a == "--_worker":
+                continue
+            fwd.append(a)
         child_args = [sys.executable, os.path.abspath(__file__), "--_worker",
-                      "--watchdog", "0"] + [
-            a for a in sys.argv[1:] if a != "--_worker"
-        ]
+                      "--watchdog", "0"] + fwd
         try:
             proc = subprocess.run(
                 child_args, timeout=args.watchdog, capture_output=True,
