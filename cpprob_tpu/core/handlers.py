@@ -250,14 +250,25 @@ class Substitute(Messenger):
 
 
 class Replay(Messenger):
-    """Replay sample values from a recorded trace."""
+    """Replay sample values from a recorded trace.  Repeated addresses are
+    matched by occurrence order (TraceHandler stores them as ``name``,
+    ``name@1``, ``name@2``, ...)."""
 
     def __init__(self, trace):
         self.trace = trace
+        self._counts: Dict[str, int] = collections.Counter()
 
     def process_message(self, msg):
-        if msg["type"] == "sample" and msg["name"] in self.trace and msg["value"] is None:
-            msg["value"] = self.trace[msg["name"]]["value"]
+        if msg["type"] != "sample" or msg["value"] is not None:
+            return
+        name = msg["name"]
+        if name is None:
+            return
+        i = self._counts[name]
+        self._counts[name] += 1
+        key = name if i == 0 else f"{name}@{i}"
+        if key in self.trace:
+            msg["value"] = self.trace[key]["value"]
 
 
 class LogWeight(Messenger):

@@ -165,3 +165,20 @@ def test_handled_model_vmaps(key):
 
     out = jax.vmap(weighted)(jax.random.split(key, 32))
     assert out.shape == (32,) and np.all(np.isfinite(out))
+
+
+def test_replay_repeated_addresses(key):
+    """Repeated addresses replay by occurrence order (trace suffixes @i)."""
+    def m():
+        a = ct.sample(Normal(0.0, 1.0), addr="x")
+        b = ct.sample(Normal(0.0, 1.0), addr="x")  # same address again
+        return a, b
+
+    tr = handlers.TraceHandler()
+    with handlers.Seed(key), tr:
+        a1, b1 = m()
+    with handlers.Replay(tr.trace), handlers.Seed(jax.random.key(123)):
+        a2, b2 = m()
+    assert float(a2) == float(a1)
+    assert float(b2) == float(b1)
+    assert float(a1) != float(b1)
