@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--steps", type=int, default=16, help="HMM length T")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
+    ap.add_argument("--block-r", type=int, default=512,
+                    help="Pallas block rows (particles per block = 128*block_r)")
     ap.add_argument("--watchdog", type=int, default=1200,
                     help="seconds before the parent assumes the TPU tunnel is "
                          "wedged and emits an error JSON line (0 = off)")
@@ -84,14 +86,22 @@ def main():
     from cpprob_tpu.models import HMM_MEANS, HMM_TRANS, hmm_ssm
     from cpprob_tpu.ops.pallas_hmm import make_pallas_hmm_ssm, pallas_available
 
-    n_particles = args.particles or (1 << 14 if args.quick else 1 << 21)
+    n_particles = args.particles or (1 << 17 if args.quick else 1 << 26)
     T = args.steps
     iters = 2 if args.quick else args.iters
 
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if pallas_available(n_particles) else "xla"
-    model = make_pallas_hmm_ssm() if impl == "pallas" else hmm_ssm
+        impl = (
+            "pallas"
+            if pallas_available(n_particles, block_r=args.block_r)
+            else "xla"
+        )
+    model = (
+        make_pallas_hmm_ssm(block_r=args.block_r)
+        if impl == "pallas"
+        else hmm_ssm
+    )
 
     # Observations simulated from the HMM itself (fixed seed).
     rng = np.random.RandomState(0)

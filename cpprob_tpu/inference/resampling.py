@@ -22,6 +22,10 @@ __all__ = [
     "residual_resample",
     "ess",
     "get_resampler",
+    "category_weights",
+    "category_counts_systematic",
+    "states_from_counts",
+    "exchange_resample_discrete",
 ]
 
 
@@ -122,6 +126,87 @@ def residual_resample(key: jax.Array, log_weights: jax.Array, n_out: int | None 
         key, jnp.log(jnp.maximum(resid, 1e-38)), shape=(n_out,)
     ).astype(jnp.int32)
     return jnp.where(slots < n_det, det_idx, resid_idx)
+
+
+# ---------------------------------------------------------------------------
+# Exchange (sorted-category) systematic resampling for discrete state spaces.
+#
+# TPU random-access scatter/gather runs at ~1.7 GB/s (element-serialized),
+# ~500x below streaming bandwidth, so the classic ancestors+gather resample is
+# the dominant cost of an SMC sweep.  For a *discrete* scalar state space the
+# whole epoch collapses to arithmetic on K scalars:
+#
+#   Particles are exchangeable, so any fixed reordering before systematic
+#   resampling is statistically valid (E[c_i] = N w_i holds for every order;
+#   sorted orderings *reduce* resampling variance — the Hilbert/state-sort
+#   idea of Gerber & Chopin's SQMC, and Murray et al. arXiv:1301.4019 §V).
+#   Under the sort-by-state order, the systematic comb hits each category's
+#   contiguous weight segment, so the offspring counts per category are
+#   m_k = ceil(N B_k - u0) - ceil(N B_{k-1} - u0) with B_k the cumulative
+#   *category* weights — and the resampled population is exactly "m_0 copies
+#   of state 0, m_1 of state 1, ...", synthesizable from the slot index.
+#   No per-particle CDF, no scatter, no gather: K masked reductions + O(K)
+#   scalar math + one elementwise fill.
+#
+# The post-resample population equals a permutation of the true sorted-order
+# systematic resample; since resampling resets weights and the downstream
+# dynamics are iid per particle given the state, the permutation is
+# distribution-preserving for the filter, the evidence estimate, and all
+# moments (only per-particle genealogy is not tracked).
+# ---------------------------------------------------------------------------
+
+
+def category_weights(log_weights: jax.Array, states: jax.Array, n_categories: int) -> jax.Array:
+    """Normalized total weight per category: W_k = sum_i w_i [s_i = k].
+
+    One streaming pass + a (n, K) one-hot contraction (MXU) — no scatter.
+    """
+    lw = log_weights - jsp_special.logsumexp(log_weights)
+    w = jnp.exp(lw)
+    onehot = (
+        states[:, None] == jnp.arange(n_categories, dtype=states.dtype)[None, :]
+    ).astype(w.dtype)
+    return w @ onehot
+
+
+def category_counts_systematic(u0: jax.Array, cat_weights: jax.Array, n_out: int) -> jax.Array:
+    """Exact systematic offspring counts per category under the
+    sorted-by-state particle ordering.
+
+    ``cat_weights``: (K,) normalized category weights; ``u0``: uniform in
+    [0, 1).  Returns int32 (K,) counts summing to ``n_out``.
+    """
+    b = jnp.cumsum(cat_weights)
+    b = b / b[-1]
+    ticks = jnp.ceil(n_out * b - u0).astype(jnp.int32)
+    ticks = jnp.clip(ticks, 0, n_out).at[-1].set(n_out)
+    ticks = jax.lax.cummax(ticks)  # guard monotonicity under rounding
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ticks[:-1]])
+    return ticks - prev
+
+
+def states_from_counts(counts: jax.Array, n_out: int, dtype=jnp.int32) -> jax.Array:
+    """Materialize the sorted resampled population: counts[0] copies of 0,
+    counts[1] copies of 1, ...  Pure elementwise compares (K passes)."""
+    ticks = jnp.cumsum(counts)
+    j = jnp.arange(n_out, dtype=jnp.int32)
+    return jnp.sum(
+        (j[:, None] >= ticks[None, :]).astype(dtype), axis=1
+    )
+
+
+def exchange_resample_discrete(
+    key: jax.Array, log_weights: jax.Array, states: jax.Array,
+    n_categories: int, n_out: int | None = None,
+) -> jax.Array:
+    """Systematic resampling of a discrete-state population under the
+    sorted-by-state exchangeable ordering; returns the new (sorted) states
+    directly — no ancestors, no gather."""
+    n_out = log_weights.shape[0] if n_out is None else n_out
+    u0 = jax.random.uniform(key, ())
+    cat_w = category_weights(log_weights, states, n_categories)
+    counts = category_counts_systematic(u0, cat_w, n_out)
+    return states_from_counts(counts, n_out, dtype=states.dtype)
 
 
 _RESAMPLERS = {

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp_special
 
 from .resampling import ess as _ess
-from .resampling import get_resampler
+from .resampling import (
+    category_counts_systematic,
+    category_weights,
+    get_resampler,
+    states_from_counts,
+)
 
 __all__ = ["StateSpaceModel", "SMCResult", "smc", "make_smc_step"]
 
@@ -69,9 +74,22 @@ class StateSpaceModel:
     # (from in-kernel streaming partials): (...) -> (s', w', ess').  Saves the
     # engine's per-step reduction passes; preferred when present.
     fused_step_ess_batch: Optional[Callable] = None
+    # Like fused_step_ess_batch but additionally emits per-category weight
+    # sums and the log-mean-exp of the new weights, and performs the
+    # (flagged) exchange resample in-kernel from category tick boundaries:
+    # (key, states, log_w, y, t, flag, ticks) ->
+    #     (s', w', ess', cat_w'(K,), lme').  Fastest path for discrete SSMs.
+    fused_step_exchange_batch: Optional[Callable] = None
     # Emission simulator (key, state, t) -> y, needed to train amortized
     # proposals on prior rollouts (compile-mode analogue for SSMs).
     obs_sample: Optional[Callable] = None
+    # For *discrete scalar* state spaces: the number of states.  Enables the
+    # exchange (sorted-category) systematic resampler — resampling via K
+    # category counts instead of per-particle scatter/gather (see
+    # inference/resampling.py).  Statistically exact for the filter/evidence;
+    # per-particle genealogy is not tracked, so the engine only uses it when
+    # no history is stored.
+    state_categories: Optional[int] = None
 
 
 class SMCResult(NamedTuple):
@@ -108,6 +126,7 @@ def make_smc_step(
     ess_threshold: float,
     resampler: Callable,
     store_history: bool = True,
+    exchange: bool = False,
 ):
     """Build the scan body: (key, states, log_w, log_Z, ess), y_t -> carry.
 
@@ -116,6 +135,10 @@ def make_smc_step(
     emit it from in-VMEM partials), then propagation and reweighting.  Both
     ``lax.cond`` branches are shape-static; the no-resample branch performs an
     identity gather so the compiled program has one code path.
+
+    ``exchange=True`` (discrete scalar states, ``model.state_categories``)
+    swaps the scatter/gather systematic resample for the sorted-category
+    counts formulation — see :mod:`cpprob_tpu.inference.resampling`.
     """
     guided = model.proposal_sample is not None
 
@@ -126,11 +149,25 @@ def make_smc_step(
 
         do_resample = ess < ess_threshold * n_particles
 
-        def resample_branch(_):
-            anc = resampler(k_res, log_w)
-            new_states = jax.tree_util.tree_map(lambda s: s[anc], states)
-            new_log_z = log_z + _log_mean_exp(log_w)
-            return new_states, jnp.zeros_like(log_w), new_log_z, anc
+        if exchange:
+            def resample_branch(_):
+                u0 = jax.random.uniform(k_res, ())
+                cat_w = category_weights(
+                    log_w, states, model.state_categories
+                )
+                counts = category_counts_systematic(u0, cat_w, n_particles)
+                new_states = states_from_counts(
+                    counts, n_particles, dtype=states.dtype
+                )
+                new_log_z = log_z + _log_mean_exp(log_w)
+                anc = jnp.arange(n_particles, dtype=jnp.int32)
+                return new_states, jnp.zeros_like(log_w), new_log_z, anc
+        else:
+            def resample_branch(_):
+                anc = resampler(k_res, log_w)
+                new_states = jax.tree_util.tree_map(lambda s: s[anc], states)
+                new_log_z = log_z + _log_mean_exp(log_w)
+                return new_states, jnp.zeros_like(log_w), new_log_z, anc
 
         def keep_branch(_):
             anc = jnp.arange(n_particles, dtype=jnp.int32)
@@ -187,6 +224,51 @@ def make_smc_step(
     return step
 
 
+def make_smc_step_exchange_fused(
+    model: StateSpaceModel,
+    n_particles: int,
+    ess_threshold: float,
+):
+    """Scan body for the fully fused discrete-state path: one kernel call per
+    step, resampling folded into the kernel as a flag + K-1 tick boundaries.
+
+    Carry: (key, states, log_w, log_z, ess, cat_w, lme) where ess / cat_w /
+    lme are streaming statistics of the *current* weights emitted by the
+    previous kernel call (in-VMEM partials — no extra HBM passes).  The whole
+    resample epoch is O(K) scalar math; the kernel synthesizes the sorted
+    resampled population from the slot index, so a resampling step reads
+    neither states nor weights from HBM.
+    """
+    K = model.state_categories
+
+    def step(carry, y_t_and_t):
+        y_t, t = y_t_and_t
+        key, states, log_w, log_z, ess, cat_w, lme = carry
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        do_resample = ess < ess_threshold * n_particles
+        u0 = jax.random.uniform(k_res, ())
+        b = jnp.cumsum(cat_w)
+        b = b / b[-1]
+        ticks = jnp.ceil(n_particles * b - u0).astype(jnp.int32)
+        ticks = jnp.clip(ticks, 0, n_particles).at[-1].set(n_particles)
+        ticks = jax.lax.cummax(ticks)[:-1]  # K-1 boundaries
+        log_z_r = log_z + jnp.where(do_resample, lme, 0.0)
+
+        new_states, new_log_w, new_ess, new_cat_w, new_lme = (
+            model.fused_step_exchange_batch(
+                k_prop, states, log_w, y_t, t,
+                do_resample.astype(jnp.int32), ticks,
+            )
+        )
+        return (
+            (key, new_states, new_log_w, log_z_r, new_ess, new_cat_w, new_lme),
+            (do_resample,),
+        )
+
+    return step
+
+
 def build_smc_run(
     model: StateSpaceModel,
     n_particles: int,
@@ -201,9 +283,23 @@ def build_smc_run(
     particle population (no (T, N) buffers — HBM-bandwidth-friendly; the
     filtering history costs 2 full-population writes per step)."""
     resampler = get_resampler(resampling)
-    step = make_smc_step(
-        model, n_particles, ess_threshold, resampler, store_history
+    guided = model.proposal_sample is not None
+    exchange_ok = (
+        not guided
+        and model.state_categories is not None
+        and not store_history
+        and resampling == "systematic"
     )
+    fused_exchange = exchange_ok and model.fused_step_exchange_batch is not None
+    if fused_exchange:
+        step = make_smc_step_exchange_fused(
+            model, n_particles, ess_threshold
+        )
+    else:
+        step = make_smc_step(
+            model, n_particles, ess_threshold, resampler, store_history,
+            exchange=exchange_ok,
+        )
 
     def run(key, observations):
         key, k_init, k_obs0 = jax.random.split(key, 3)
@@ -231,10 +327,22 @@ def build_smc_run(
             )(states0)
 
         ts = jnp.arange(1, observations.shape[0])
-        carry0 = (key, states0, log_w0, jnp.zeros(()), _ess(log_w0))
-        (key_f, states_f, log_w_f, log_z, _ess_f), ys = jax.lax.scan(
-            step, carry0, (observations[1:], ts)
-        )
+        if fused_exchange:
+            cat_w0 = category_weights(
+                log_w0, states0, model.state_categories
+            )
+            carry0 = (
+                key, states0, log_w0, jnp.zeros(()), _ess(log_w0),
+                cat_w0, _log_mean_exp(log_w0),
+            )
+            (key_f, states_f, log_w_f, log_z, *_), ys = jax.lax.scan(
+                step, carry0, (observations[1:], ts)
+            )
+        else:
+            carry0 = (key, states0, log_w0, jnp.zeros(()), _ess(log_w0))
+            (key_f, states_f, log_w_f, log_z, _ess_f), ys = jax.lax.scan(
+                step, carry0, (observations[1:], ts)
+            )
         log_z = log_z + _log_mean_exp(log_w_f)
 
         if store_history:

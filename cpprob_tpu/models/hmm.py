@@ -104,6 +104,9 @@ hmm_ssm = StateSpaceModel(
     obs_logpdf_batch=_hmm_obs_batch,
     obs_sample=lambda key, s, t: jnp.asarray(HMM_MEANS)[s]
     + jax.random.normal(key, ()),
+    # 3-state discrete space: enables the exchange (category-count)
+    # systematic resampler — no scatter/gather on the resample epoch.
+    state_categories=3,
 )
 
 

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pallas_hmm_fused_step",
+    "pallas_hmm_fused_step_exchange",
     "make_pallas_hmm_ssm",
     "pallas_lg_fused_step",
     "make_pallas_lg_ssm",
@@ -94,6 +95,148 @@ def _step_kernel(seed_ref, y_ref, states_ref, logw_ref, out_s_ref, out_w_ref,
                   jnp.where((rowid == 0) & (lane == 2), jnp.sum(e * e), 0.0)),
     )
     part_ref[:, :] = row
+
+
+def _make_step_exchange_kernel(hw_prng: bool):
+    """Build the fused exchange-step kernel.  ``hw_prng=False`` substitutes
+    zero random bits (the TPU hardware PRNG has no CPU/interpret lowering) —
+    used only by interpret-mode tests of the deterministic arithmetic."""
+
+    def _step_exchange_kernel(seed_ref, y_ref, ctrl_ref, states_ref, logw_ref,
+                              out_s_ref, out_w_ref, part_ref):
+        # Fused HMM step with in-kernel *exchange* resampling (sorted-category
+        # systematic — see inference/resampling.py).  ctrl_ref (SMEM int32
+        # [flag, t0, t1]): when flag is set, the incoming population is
+        # replaced by the resampled one synthesized from the global slot index
+        # against the category tick boundaries (t0, t1) — the resample epoch
+        # therefore reads neither states nor weights from HBM, and costs zero
+        # extra passes.
+        #
+        # Emits streaming partials (max, sum e, sum e^2, sum e[s=0..2]) per
+        # block so the engine's next ESS check *and* next resample's category
+        # weights come from in-VMEM statistics.
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+            )
+            u = _uniform_from_bits(bits)
+        else:
+            u = jnp.zeros(states_ref.shape, jnp.float32)
+
+        block_r = states_ref.shape[0]
+        flag = ctrl_ref[0] > 0
+        rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
+        j = (i * block_r + rowid) * _LANES + lane
+        synth = (j >= ctrl_ref[1]).astype(jnp.int32) + (
+            j >= ctrl_ref[2]
+        ).astype(jnp.int32)
+        s = jnp.where(flag, synth, states_ref[:])
+        w_in = jnp.where(flag, 0.0, logw_ref[:])
+
+        c0 = _select3(s, _TRANS_CDF[0, 0], _TRANS_CDF[1, 0], _TRANS_CDF[2, 0])
+        c1 = _select3(s, _TRANS_CDF[0, 1], _TRANS_CDF[1, 1], _TRANS_CDF[2, 1])
+        new_s = (u >= c0).astype(jnp.int32) + (u >= c1).astype(jnp.int32)
+
+        y = y_ref[0]
+        mean = _select3(new_s, _MEANS[0], _MEANS[1], _MEANS[2])
+        d = y - mean
+        new_w = w_in + (-0.5 * d * d - _HALF_LOG_2PI)
+        out_s_ref[:] = new_s
+        out_w_ref[:] = new_w
+
+        m = jnp.max(new_w)
+        e = jnp.exp(new_w - m)
+        vals = (
+            m,
+            jnp.sum(e),
+            jnp.sum(e * e),
+            jnp.sum(jnp.where(new_s == 0, e, 0.0)),
+            jnp.sum(jnp.where(new_s == 1, e, 0.0)),
+            jnp.sum(jnp.where(new_s == 2, e, 0.0)),
+        )
+        plane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        row = jnp.zeros((8, _LANES), jnp.float32)
+        for idx, v in enumerate(vals):
+            row = jnp.where((prow == 0) & (plane == idx), v, row)
+        part_ref[:, :] = row
+
+    return _step_exchange_kernel
+
+
+def stats_from_partials(partials: jax.Array, n: int):
+    """Combine per-block (max, sum e, sum e^2, sum e per category) partials
+    into (ess, normalized category weights (3,), log-mean-exp)."""
+    p = partials[::8]
+    m_b, s1_b, s2_b = p[:, 0], p[:, 1], p[:, 2]
+    c_bk = p[:, 3:6]
+    m = jnp.max(m_b)
+    scale = jnp.exp(m_b - m)
+    s1 = jnp.sum(s1_b * scale)
+    s2 = jnp.sum(s2_b * jnp.exp(2.0 * (m_b - m)))
+    ess = s1 * s1 / jnp.maximum(s2, 1e-38)
+    cat_w = jnp.sum(c_bk * scale[:, None], axis=0) / jnp.maximum(s1, 1e-38)
+    lme = m + jnp.log(jnp.maximum(s1, 1e-38)) - jnp.log(float(n))
+    return ess, cat_w, lme
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def pallas_hmm_fused_step_exchange(
+    seed, states, log_w, y, flag, ticks,
+    block_r: int = _BLOCK_R, interpret: bool = False,
+):
+    """Fused transition+reweight step with flagged in-kernel exchange
+    resampling.  ``flag``: int32 scalar (1 = resample); ``ticks``: (2,) int32
+    cumulative category boundaries (t0, t1) of the sorted resampled
+    population.  Returns (new_states, new_log_w, ess, cat_w(3,), lme)."""
+    n = states.shape[0]
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    n_blocks = r // block_r
+    s2 = states.reshape(r, _LANES)
+    w2 = log_w.reshape(r, _LANES)
+    ctrl = jnp.concatenate(
+        [jnp.asarray(flag, jnp.int32).reshape(1),
+         jnp.asarray(ticks, jnp.int32).reshape(2)]
+    )
+    out_s, out_w, partials = pl.pallas_call(
+        _make_step_exchange_kernel(hw_prng=not interpret),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(y, jnp.float32).reshape(1),
+        ctrl,
+        s2,
+        w2,
+    )
+    ess, cat_w, lme = stats_from_partials(partials, n)
+    return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
 
 
 def ess_from_partials(partials: jax.Array) -> jax.Array:
@@ -270,8 +413,16 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
             _key_to_seed(key), states, log_w, y, block_r=block_r
         )
 
+    def fused_exchange(key, states, log_w, y, t, flag, ticks):
+        return pallas_hmm_fused_step_exchange(
+            _key_to_seed(key), states, log_w, y, flag, ticks, block_r=block_r
+        )
+
     import dataclasses
 
     return dataclasses.replace(
-        hmm_ssm, fused_step_batch=fused, fused_step_ess_batch=fused_ess
+        hmm_ssm,
+        fused_step_batch=fused,
+        fused_step_ess_batch=fused_ess,
+        fused_step_exchange_batch=fused_exchange,
     )

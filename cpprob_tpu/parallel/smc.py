@@ -54,15 +54,26 @@ def smc_sharded(
     ``scheme='collective'``: exact global systematic resampling (all-gather of
     the weight CDF + ancestor states).  ``scheme='island'``: shard-local
     resampling, island weights carried in the particle weights — zero data
-    motion, scalar collectives only.
+    motion, scalar collectives only.  ``scheme='exchange'`` (discrete scalar
+    states, requires ``model.state_categories``): exact global systematic
+    resampling under the sorted-by-state exchangeable ordering — the resample
+    is a ``psum`` of K category weights + O(K) scalar math, and each shard
+    synthesizes its slice of the sorted global population from its global
+    slot range.  No particle data crosses the ICI at all (see
+    ``inference/resampling.py`` for the statistical argument).
     """
     mesh = mesh or particle_mesh()
     n_dev = mesh.size
     if n_particles % n_dev != 0:
         raise ValueError(f"n_particles must divide by mesh size {n_dev}")
     n_local = n_particles // n_dev
-    if scheme not in ("collective", "island"):
+    if scheme not in ("collective", "island", "exchange"):
         raise ValueError(f"unknown scheme {scheme!r}")
+    if scheme == "exchange" and model.state_categories is None:
+        raise ValueError(
+            "scheme='exchange' needs a discrete state space "
+            "(model.state_categories)"
+        )
     T = observations.shape[0]
 
     def shard_body(key_rep, obs):
@@ -92,6 +103,29 @@ def smc_sharded(
                 )
                 new_states = jax.tree_util.tree_map(
                     lambda s: s[anc], all_states
+                )
+                new_log_z = log_z + global_log_mean_exp(log_w, axis)
+                return new_states, jnp.zeros_like(log_w), new_log_z
+            elif scheme == "exchange":
+                K = model.state_categories
+                # global max-shift for stable exp
+                m = jax.lax.pmax(jnp.max(log_w), axis)
+                w = jnp.exp(log_w - m)
+                onehot = (
+                    states[:, None]
+                    == jnp.arange(K, dtype=states.dtype)[None, :]
+                ).astype(w.dtype)
+                cat_w = jax.lax.psum(w @ onehot, axis)      # (K,) global
+                total = jnp.sum(cat_w)
+                b = jnp.cumsum(cat_w) / total
+                ticks = jnp.ceil(n_particles * b - u0).astype(jnp.int32)
+                ticks = jnp.clip(ticks, 0, n_particles).at[-1].set(n_particles)
+                ticks = jax.lax.cummax(ticks)
+                # shard fills its global slot range [my*n_local, ...)
+                j = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
+                new_states = jnp.sum(
+                    (j[:, None] >= ticks[None, :-1]).astype(states.dtype),
+                    axis=1,
                 )
                 new_log_z = log_z + global_log_mean_exp(log_w, axis)
                 return new_states, jnp.zeros_like(log_w), new_log_z

@@ -87,3 +87,76 @@ def test_lg_pallas_model_structure():
 
     m = make_pallas_lg_ssm()
     assert m.fused_step_batch is not None
+
+
+def test_exchange_kernel_interpret_weight_and_synthesis():
+    """Interpret mode (CPU): hardware PRNG yields zero bits => u=0 => every
+    particle transitions to state 0 deterministically.  This pins down the
+    flag/tick synthesis and the weight/partials arithmetic exactly."""
+    from cpprob_tpu.ops.pallas_hmm import pallas_hmm_fused_step_exchange
+
+    n = 128 * 256
+    logw = jnp.linspace(-1.0, 0.0, n)
+    states = jnp.zeros((n,), jnp.int32)
+    y = jnp.float32(0.7)
+
+    # flag off: weights carried through and incremented by N(y; -1, 1) logpdf
+    s1, w1, ess, cat_w, lme = pallas_hmm_fused_step_exchange(
+        jnp.int32(0), states, logw, y, jnp.int32(0),
+        jnp.asarray([0, 0], jnp.int32), interpret=True,
+    )
+    assert np.asarray(s1).max() == 0  # u=0 -> all to state 0 (mean -1)
+    d = 0.7 - (-1.0)
+    np.testing.assert_allclose(
+        np.asarray(w1), np.asarray(logw) + (-0.5 * d * d - 0.9189385332046727),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(cat_w), [1.0, 0.0, 0.0], atol=1e-6)
+    # lme = log mean exp of the (shifted) weights
+    want_lme = float(
+        jax.scipy.special.logsumexp(w1) - jnp.log(float(n))
+    )
+    np.testing.assert_allclose(float(lme), want_lme, rtol=1e-5)
+    want_ess = float(
+        jnp.exp(2.0 * jax.scipy.special.logsumexp(w1)
+                - jax.scipy.special.logsumexp(2.0 * w1))
+    )
+    np.testing.assert_allclose(float(ess), want_ess, rtol=1e-4)
+
+    # flag on: incoming population replaced by synthesized sorted fill;
+    # weights reset to zero before the emission increment
+    s2, w2, *_ = pallas_hmm_fused_step_exchange(
+        jnp.int32(0), states, logw, y, jnp.int32(1),
+        jnp.asarray([n // 4, n // 2], jnp.int32), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w2), -0.5 * d * d - 0.9189385332046727, atol=1e-6
+    )
+
+
+@tpu_only
+def test_exchange_kernel_tpu_matches_xla_exchange_path():
+    """Full fused-exchange SMC sweep vs the XLA exchange path: log-evidence
+    agrees within MC error across seeds (same model, same algorithm)."""
+    import dataclasses
+
+    from cpprob_tpu.inference.smc import build_smc_run
+    from cpprob_tpu.models.hmm import hmm_ssm
+
+    T, n = 12, 128 * 256
+    rng = np.random.RandomState(1)
+    obs = jnp.asarray(rng.normal(0.0, 1.2, size=T).astype(np.float32))
+
+    fused_model = make_pallas_hmm_ssm()
+    xla_model = dataclasses.replace(
+        fused_model, fused_step_batch=None, fused_step_ess_batch=None,
+        fused_step_exchange_batch=None,
+    )
+    run_f = jax.jit(build_smc_run(fused_model, n, ess_threshold=0.6))
+    run_x = jax.jit(build_smc_run(xla_model, n, ess_threshold=0.6))
+    z_f = [float(run_f(jax.random.key(i), obs).log_evidence) for i in range(6)]
+    z_x = [float(run_x(jax.random.key(50 + i), obs).log_evidence)
+           for i in range(6)]
+    assert abs(np.mean(z_f) - np.mean(z_x)) < 4.0 * (
+        np.std(z_f) + np.std(z_x) + 1e-3
+    ) / np.sqrt(6)

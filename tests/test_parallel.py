@@ -115,6 +115,41 @@ def test_sharded_smc_hmm(mesh, key):
     assert np.all(np.isfinite(np.asarray(res.tracked)))
 
 
+def test_sharded_smc_exchange_hmm(mesh, key):
+    """Exchange scheme (psum of K category weights, shard-local fill) agrees
+    with the collective scheme's evidence on the HMM within MC error, and
+    resamples at least once."""
+    obs = jnp.array([0.9, -0.8, 0.7, 0.0, 1.1, -1.0, 0.5, 0.2, -0.4, 1.3])
+    z_ex = [
+        float(smc_sharded(hmm_ssm, obs, 8192, jax.random.key(i), mesh=mesh,
+                          scheme="exchange", ess_threshold=0.7).log_evidence)
+        for i in range(4)
+    ]
+    z_co = [
+        float(smc_sharded(hmm_ssm, obs, 8192, jax.random.key(40 + i),
+                          mesh=mesh, scheme="collective",
+                          ess_threshold=0.7).log_evidence)
+        for i in range(4)
+    ]
+    assert abs(np.mean(z_ex) - np.mean(z_co)) < 4.0 * (
+        np.std(z_ex) + np.std(z_co) + 1e-3
+    ) / np.sqrt(4)
+    res = smc_sharded(hmm_ssm, obs, 8192, key, mesh=mesh, scheme="exchange",
+                      ess_threshold=0.7)
+    assert bool(np.asarray(res.resampled).any())
+    # population states stay in {0,1,2} after synthesized fills
+    states = np.asarray(res.final_states)
+    assert states.min() >= 0 and states.max() <= 2
+
+
+def test_sharded_smc_exchange_requires_categories(mesh, key):
+    obs = jnp.array([0.1, 0.2])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        smc_sharded(linear_gaussian_ssm, obs, 1024, key, mesh=mesh,
+                    scheme="exchange")
+
+
 def test_csis_infer_sharded(mesh, key):
     """Guided inference with particles sharded over the mesh: same posterior
     as the single-device path."""
