@@ -94,10 +94,31 @@ def smc_sampler(
     hmc_step_size: float = 0.2,
     hmc_leapfrogs: int = 8,
     max_stages: int = 50,
+    waste_free: bool = False,
+    chain_length: int = 8,
     flat: Optional[FlatModel] = None,
     jit: bool = True,
 ) -> TemperedSMCResult:
-    """Adaptive likelihood-tempered SMC from prior to posterior."""
+    """Adaptive likelihood-tempered SMC from prior to posterior.
+
+    ``waste_free=True`` switches the move step to waste-free SMC (Dau &
+    Chopin, JRSS-B 2022): instead of every particle running ``n_hmc_moves``
+    and discarding the intermediate states, ``n_particles // chain_length``
+    ancestors are resampled and each runs a length-``chain_length`` HMC chain
+    whose **every** state (including the start) enters the next population.
+    Same MCMC budget, P× the effective population — all intermediate
+    computation is kept, none is wasted.  Requires
+    ``n_particles % chain_length == 0``.
+    """
+    if waste_free:
+        if chain_length < 2:
+            raise ValueError("waste_free needs chain_length >= 2")
+        if n_particles % chain_length != 0:
+            raise ValueError(
+                "n_particles must be divisible by chain_length "
+                f"({n_particles} % {chain_length} != 0)"
+            )
+    n_roots = n_particles // chain_length if waste_free else n_particles
     flat = flat or flatten_model(model, args)
     dim = flat.dim
     log_prior, log_lik = _split_log_joint(model, args, flat)
@@ -167,23 +188,48 @@ def smc_sampler(
                 jnp.asarray(n_particles, jnp.float32)
             )
             key, k_res, k_mov = jax.random.split(key, 3)
-            anc = systematic_resample(k_res, lw)
-            zs = zs[anc]
+            if waste_free:
+                # resample M = N/P roots; every chain state (root included)
+                # becomes a particle of the next population
+                anc = systematic_resample(k_res, lw, n_out=n_roots)
+                roots = zs[anc]
 
-            def one_move(key, z):
-                def mv(carry, k):
-                    z, a_sum = carry
-                    z, a = hmc_move(k, z, beta_new, hmc_step_size)
-                    return (z, a_sum + a), None
+                def one_chain(key, z):
+                    def mv(carry, k):
+                        z, a_sum = carry
+                        z, a = hmc_move(k, z, beta_new, hmc_step_size)
+                        return (z, a_sum + a), z
 
-                (z, a_sum), _ = jax.lax.scan(
-                    mv, (z, jnp.zeros(())), jax.random.split(key, n_hmc_moves)
+                    (zf, a_sum), path = jax.lax.scan(
+                        mv, (z, jnp.zeros(())),
+                        jax.random.split(key, chain_length - 1),
+                    )
+                    chain = jnp.concatenate([z[None], path], axis=0)  # (P, dim)
+                    return chain, a_sum / (chain_length - 1)
+
+                chains, accs = jax.vmap(one_chain)(
+                    jax.random.split(k_mov, n_roots), roots
                 )
-                return z, a_sum / n_hmc_moves
+                zs = chains.reshape(n_particles, dim)
+            else:
+                anc = systematic_resample(k_res, lw)
+                zs = zs[anc]
 
-            zs, accs = jax.vmap(one_move)(
-                jax.random.split(k_mov, n_particles), zs
-            )
+                def one_move(key, z):
+                    def mv(carry, k):
+                        z, a_sum = carry
+                        z, a = hmc_move(k, z, beta_new, hmc_step_size)
+                        return (z, a_sum + a), None
+
+                    (z, a_sum), _ = jax.lax.scan(
+                        mv, (z, jnp.zeros(())),
+                        jax.random.split(key, n_hmc_moves),
+                    )
+                    return z, a_sum / n_hmc_moves
+
+                zs, accs = jax.vmap(one_move)(
+                    jax.random.split(k_mov, n_particles), zs
+                )
             betas = betas.at[stage].set(beta_new)
             return (
                 key, zs, beta_new, log_z, betas, stage + 1,

@@ -68,3 +68,32 @@ def test_multimodal_survives_tempering(key):
     frac_pos = float((xs > 0).mean())
     assert 0.25 < frac_pos < 0.75  # both modes present
     assert abs(abs(xs).mean() - 3.0) < 0.3
+
+
+def test_waste_free_conjugate_gaussian(key):
+    """Waste-free SMC (Dau & Chopin 2022): resampled roots + kept chain
+    states reach the same posterior/evidence as the standard sampler with the
+    same MCMC budget."""
+    res = smc_sampler(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 2048, key,
+        waste_free=True, chain_length=8, hmc_step_size=0.5,
+    )
+    mus = np.asarray(res.samples["mu"])
+    assert abs(mus.mean() - 2.32353) < 0.08
+    assert abs(mus.var() - 1.05882) < 0.25
+    import scipy.stats as sps
+
+    s0sq, ssq, mu0 = 1.5**2, 4.0, 1.0
+    cov = np.array([[ssq + s0sq, s0sq], [s0sq, ssq + s0sq]])
+    want = sps.multivariate_normal.logpdf([3.0, 4.0], [mu0, mu0], cov)
+    assert abs(float(res.log_evidence) - want) < 0.12
+    assert float(res.accept_rate) > 0.3
+
+
+def test_waste_free_validation():
+    with pytest.raises(ValueError):
+        smc_sampler(gaussian_unknown_mean_readme, (3.0, 4.0), 100,
+                    jax.random.key(0), waste_free=True, chain_length=8)
+    with pytest.raises(ValueError):
+        smc_sampler(gaussian_unknown_mean_readme, (3.0, 4.0), 128,
+                    jax.random.key(0), waste_free=True, chain_length=1)
