@@ -22,6 +22,7 @@ from .core import (
 )
 from .inference import (
     CSIS,
+    DynamicCSIS,
     ImportanceResult,
     SMCResult,
     StateSpaceModel,
@@ -52,6 +53,7 @@ __all__ = [
     "smc",
     "smc_sampler",
     "CSIS",
+    "DynamicCSIS",
     "hmc",
     "nuts",
     "svi",

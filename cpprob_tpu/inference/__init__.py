@@ -7,6 +7,7 @@ from .resampling import (
     systematic_resample,
 )
 from .csis import CSIS
+from .csis_dynamic import DynamicCSIS, sis_host
 from .chees import chees_hmc
 from .hmc import HMCResult, hmc
 from .nuts import nuts
