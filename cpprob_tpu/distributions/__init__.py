@@ -31,6 +31,7 @@ from .discrete import (
     UniformInt,
 )
 from .compound import ABC, Dirac, Mixture, Truncated, make_abc
+from .flow import SplineFlow1D
 
 __all__ = [
     "Distribution",
@@ -60,4 +61,5 @@ __all__ = [
     "Dirac",
     "ABC",
     "make_abc",
+    "SplineFlow1D",
 ]
