@@ -28,6 +28,7 @@ from .inference import (
     StateSpaceModel,
     hmc,
     nuts,
+    particle_gibbs,
     sis,
     smc,
     smc_sampler,
@@ -52,6 +53,7 @@ __all__ = [
     "sis",
     "smc",
     "smc_sampler",
+    "particle_gibbs",
     "CSIS",
     "DynamicCSIS",
     "hmc",

@@ -11,6 +11,7 @@ from .csis_dynamic import DynamicCSIS, sis_host
 from .chees import chees_hmc
 from .hmc import HMCResult, hmc
 from .nuts import nuts
+from .particle_gibbs import CSMCResult, csmc_sweep, particle_gibbs
 from .potential import FlatModel, flatten_model
 from .predictive import posterior_predictive, prior_predictive
 from .sis import (
@@ -20,6 +21,7 @@ from .sis import (
     make_prior_fn,
     sis,
     sis_streaming,
+    sis_streaming_checkpointed,
 )
 from .smc import SMCResult, StateSpaceModel, build_smc_run, smc
 from .smc2 import ParamSSM, SMC2Result, smc2
@@ -29,6 +31,7 @@ from .svi import SVIResult, svi
 __all__ = [
     "sis",
     "sis_streaming",
+    "sis_streaming_checkpointed",
     "smc",
     "build_smc_run",
     "smc_sampler",
@@ -37,6 +40,9 @@ __all__ = [
     "SMC2Result",
     "TemperedSMCResult",
     "CSIS",
+    "csmc_sweep",
+    "particle_gibbs",
+    "CSMCResult",
     "hmc",
     "chees_hmc",
     "nuts",

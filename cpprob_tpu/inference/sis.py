@@ -22,6 +22,7 @@ __all__ = [
     "make_prior_fn",
     "sis",
     "sis_streaming",
+    "sis_streaming_checkpointed",
     "ImportanceResult",
     "StreamingResult",
 ]
@@ -147,6 +148,52 @@ class StreamingResult:
         return self.variances[name]
 
 
+def _make_chunk_stats(particle: Callable, batch_size: int):
+    """Per-chunk streaming statistics: (max-shift, sum w, sum w^2, weighted
+    value sums / square sums per predict)."""
+
+    def chunk_stats(keys):
+        log_w, predicts = jax.vmap(particle)(keys)
+        m = jnp.max(log_w)
+        w = jnp.exp(log_w - m)
+        s0 = jnp.sum(w)
+        s0_sq = jnp.sum(w * w)
+        sums = {}
+        sqs = {}
+        for name, vals in predicts.items():
+            vals = jnp.asarray(vals, jnp.float32)
+            wshape = w.reshape((batch_size,) + (1,) * (vals.ndim - 1))
+            sums[name] = jnp.sum(wshape * vals, axis=0)
+            sqs[name] = jnp.sum(wshape * vals * vals, axis=0)
+        return m, s0, s0_sq, sums, sqs
+
+    return chunk_stats
+
+
+def _merge_stats(carry, chunk):
+    """Online max-shift logsumexp merge of two streaming-stat tuples —
+    associative, numerically stable at any particle count."""
+    m, s0, s0_sq, sums, sqs = carry
+    mc, c0, c0_sq, csums, csqs = chunk
+    new_m = jnp.maximum(m, mc)
+    a = jnp.exp(m - new_m)
+    b = jnp.exp(mc - new_m)
+    s0 = s0 * a + c0 * b
+    s0_sq = s0_sq * a * a + c0_sq * b * b
+    sums = {k: sums[k] * a + csums[k] * b for k in sums}
+    sqs = {k: sqs[k] * a + csqs[k] * b for k in sqs}
+    return new_m, s0, s0_sq, sums, sqs
+
+
+def _finalize_stats(carry, n_particles):
+    m, s0, s0_sq, sums, sqs = carry
+    log_z = m + jnp.log(s0) - jnp.log(float(n_particles))
+    ess = (s0 * s0) / jnp.maximum(s0_sq, 1e-38)
+    means = {k: sums[k] / s0 for k in sums}
+    variances = {k: sqs[k] / s0 - means[k] ** 2 for k in sums}
+    return log_z, ess, means, variances
+
+
 def sis_streaming(
     model: Callable,
     args: Tuple,
@@ -167,51 +214,117 @@ def sis_streaming(
         raise ValueError("n_particles must be divisible by batch_size")
     n_chunks = n_particles // batch_size
     particle = make_particle_fn(model, args, proposal_messenger=proposal_messenger)
-
-    def chunk_stats(keys):
-        log_w, predicts = jax.vmap(particle)(keys)
-        m = jnp.max(log_w)
-        w = jnp.exp(log_w - m)
-        s0 = jnp.sum(w)
-        s0_sq = jnp.sum(w * w)
-        sums = {}
-        sqs = {}
-        for name, vals in predicts.items():
-            vals = jnp.asarray(vals, jnp.float32)
-            wshape = w.reshape((batch_size,) + (1,) * (vals.ndim - 1))
-            sums[name] = jnp.sum(wshape * vals, axis=0)
-            sqs[name] = jnp.sum(wshape * vals * vals, axis=0)
-        return m, s0, s0_sq, sums, sqs
+    chunk_stats = _make_chunk_stats(particle, batch_size)
 
     def run(key):
         keys = jax.random.split(key, n_particles).reshape(n_chunks, batch_size)
 
-        m0, s0_0, sq0, sums0, sqs0 = chunk_stats(keys[0])
+        carry0 = chunk_stats(keys[0])
 
         def body(carry, ks):
-            m, s0, s0_sq, sums, sqs = carry
-            mc, c0, c0_sq, csums, csqs = chunk_stats(ks)
-            new_m = jnp.maximum(m, mc)
-            a = jnp.exp(m - new_m)
-            b = jnp.exp(mc - new_m)
-            s0 = s0 * a + c0 * b
-            s0_sq = s0_sq * a * a + c0_sq * b * b
-            sums = {k: sums[k] * a + csums[k] * b for k in sums}
-            sqs = {k: sqs[k] * a + csqs[k] * b for k in sqs}
-            return (new_m, s0, s0_sq, sums, sqs), None
+            return _merge_stats(carry, chunk_stats(ks)), None
 
-        (m, s0, s0_sq, sums, sqs), _ = jax.lax.scan(
-            body, (m0, s0_0, sq0, sums0, sqs0), keys[1:]
-        )
-        log_z = m + jnp.log(s0) - jnp.log(float(n_particles))
-        ess = (s0 * s0) / jnp.maximum(s0_sq, 1e-38)
-        means = {k: sums[k] / s0 for k in sums}
-        variances = {k: sqs[k] / s0 - means[k] ** 2 for k in sums}
-        return log_z, ess, means, variances
+        carry, _ = jax.lax.scan(body, carry0, keys[1:])
+        return _finalize_stats(carry, n_particles)
 
     if jit:
         run = jax.jit(run)
     log_z, ess, means, variances = run(key)
+    return StreamingResult(log_z, ess, means, variances, n_particles)
+
+
+def sis_streaming_checkpointed(
+    model: Callable,
+    args: Tuple,
+    n_particles: int,
+    key: jax.Array,
+    batch_size: int,
+    dump_path: str,
+    *,
+    dump_every: int = 16,
+    proposal_messenger: Optional[Callable[[], Any]] = None,
+    resume: bool = True,
+) -> StreamingResult:
+    """Streaming SIS with **on-disk partial dumps**: after every
+    ``dump_every`` chunks the running sufficient statistics are atomically
+    written to ``dump_path`` (npz), so an interrupted run keeps its partial
+    results and ``resume=True`` continues exactly where it stopped — the
+    reference's append-only posterior files give the same guarantee one trace
+    at a time (``state.cpp:262-267``); here the checkpoint is O(#predicts),
+    not O(#particles).
+
+    The particle key stream is a pure function of ``key`` and the chunk
+    index, so a resumed run is bit-identical to an uninterrupted one.
+    """
+    import numpy as np
+
+    if n_particles % batch_size != 0:
+        raise ValueError("n_particles must be divisible by batch_size")
+    n_chunks = n_particles // batch_size
+    particle = make_particle_fn(model, args, proposal_messenger=proposal_messenger)
+    chunk_stats = _make_chunk_stats(particle, batch_size)
+
+    @jax.jit
+    def run_group(carry, keys_group):
+        def body(c, ks):
+            return _merge_stats(c, chunk_stats(ks)), None
+
+        carry, _ = jax.lax.scan(body, carry, keys_group)
+        return carry
+
+    # neutral element: m = -inf, zero sums (shape-inferred without running)
+    shapes = jax.eval_shape(chunk_stats, jax.random.split(key, batch_size))
+    _, _, _, sum_shapes, sq_shapes = shapes
+    carry = (
+        jnp.float32(-jnp.inf), jnp.zeros(()), jnp.zeros(()),
+        {k: jnp.zeros(v.shape, v.dtype) for k, v in sum_shapes.items()},
+        {k: jnp.zeros(v.shape, v.dtype) for k, v in sq_shapes.items()},
+    )
+    done = 0
+
+    import os
+
+    if resume and os.path.exists(dump_path):
+        with np.load(dump_path) as ck:
+            if int(ck["batch_size"]) != batch_size or int(
+                ck["n_particles"]
+            ) != n_particles:
+                raise ValueError(
+                    f"checkpoint {dump_path!r} was written for "
+                    f"n_particles={int(ck['n_particles'])}, "
+                    f"batch_size={int(ck['batch_size'])}"
+                )
+            done = int(ck["chunks_done"])
+            carry = (
+                jnp.asarray(ck["m"]), jnp.asarray(ck["s0"]),
+                jnp.asarray(ck["s0_sq"]),
+                {k: jnp.asarray(ck[f"sum:{k}"]) for k in sum_shapes},
+                {k: jnp.asarray(ck[f"sq:{k}"]) for k in sq_shapes},
+            )
+
+    def save(carry, done):
+        m, s0, s0_sq, sums, sqs = jax.device_get(carry)
+        payload = {
+            "m": m, "s0": s0, "s0_sq": s0_sq,
+            "chunks_done": done, "batch_size": batch_size,
+            "n_particles": n_particles,
+        }
+        payload.update({f"sum:{k}": v for k, v in sums.items()})
+        payload.update({f"sq:{k}": v for k, v in sqs.items()})
+        tmp = dump_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, dump_path)
+
+    all_keys = jax.random.split(key, n_particles).reshape(n_chunks, batch_size)
+    while done < n_chunks:
+        g = min(dump_every, n_chunks - done)
+        carry = run_group(carry, all_keys[done : done + g])
+        done += g
+        save(carry, done)
+
+    log_z, ess, means, variances = jax.jit(
+        partial(_finalize_stats, n_particles=n_particles)
+    )(carry)
     return StreamingResult(log_z, ess, means, variances, n_particles)
 
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 import cpprob_tpu as ct
 from cpprob_tpu.models import (
     all_distr,
@@ -164,3 +166,77 @@ def test_streaming_hmm_vector_predicts(key):
     got = np.asarray(stream.mean("State"))
     want = np.asarray(res.mean("State"))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_streaming_checkpointed_matches_and_resumes(key, tmp_path):
+    from cpprob_tpu.inference.sis import (
+        sis_streaming,
+        sis_streaming_checkpointed,
+    )
+
+    dump = str(tmp_path / "partial.npz")
+    stream = sis_streaming(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 32768, key, batch_size=2048
+    )
+    ck = sis_streaming_checkpointed(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 32768, key, 2048, dump,
+        dump_every=4,
+    )
+    np.testing.assert_allclose(
+        float(ck.log_evidence), float(stream.log_evidence), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(ck.mean("Mean")), float(stream.mean("Mean")), rtol=1e-5
+    )
+
+    # genuine interruption: kill the run right after its second dump, then
+    # resume from the mid-run checkpoint and demand a bit-identical result
+    import os as _os
+
+    import numpy as onp
+
+    full_lz = float(ck.log_evidence)
+    with onp.load(dump) as full:
+        assert int(full["chunks_done"]) == 16
+
+    dump2 = str(tmp_path / "interrupted.npz")
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def dying_replace(src, dst):
+        real_replace(src, dst)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    _os.replace = dying_replace
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            sis_streaming_checkpointed(
+                gaussian_unknown_mean_readme, (3.0, 4.0), 32768, key, 2048,
+                dump2, dump_every=4,
+            )
+    finally:
+        _os.replace = real_replace
+    with onp.load(dump2) as mid:
+        assert int(mid["chunks_done"]) == 8  # partial results survived
+    resumed = sis_streaming_checkpointed(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 32768, key, 2048, dump2,
+        dump_every=4, resume=True,
+    )
+    assert float(resumed.log_evidence) == full_lz
+
+
+def test_streaming_checkpointed_rejects_mismatched_shape(key, tmp_path):
+    import pytest as _pytest
+
+    from cpprob_tpu.inference.sis import sis_streaming_checkpointed
+
+    dump = str(tmp_path / "p.npz")
+    sis_streaming_checkpointed(
+        gaussian_unknown_mean_readme, (3.0, 4.0), 8192, key, 2048, dump
+    )
+    with _pytest.raises(ValueError):
+        sis_streaming_checkpointed(
+            gaussian_unknown_mean_readme, (3.0, 4.0), 16384, key, 2048, dump
+        )
