@@ -86,9 +86,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True, help="model name (see --list)")
     p.add_argument(
         "-m", "--mode", default="sis",
-        choices=["sis", "csis", "compile", "dryrun", "estimate", "smc"],
-        help="inference mode (the reference's StateType + smc)",
+        choices=["sis", "csis", "compile", "dryrun", "estimate", "smc",
+                 "pg", "tempered"],
+        help="inference mode (the reference's StateType + smc / "
+             "particle-Gibbs / tempered-SMC extensions)",
     )
+    p.add_argument("--iters", type=int, default=500,
+                   help="pg: number of CSMC sweeps")
+    p.add_argument("--burn-in", type=int, default=100,
+                   help="pg: sweeps discarded before summarizing")
+    p.add_argument("--waste-free", action="store_true",
+                   help="tempered: waste-free SMC moves (Dau & Chopin 2022)")
     p.add_argument("--ess-threshold", type=float, default=0.5,
                    help="smc: resample when ESS < threshold * N")
     p.add_argument("--resampling", default="systematic",
@@ -211,6 +219,53 @@ def main(argv=None) -> int:
         w = np.asarray(jax.nn.softmax(res.final_log_weights))
         states = np.asarray(res.final_states)
         print(f"final-state mean: {float((w * states).sum()):.5f}")
+        return 0
+
+    if args.mode == "pg":
+        import jax.numpy as jnp
+
+        from .inference.particle_gibbs import particle_gibbs
+
+        ssm = entry.get("ssm")
+        if ssm is None:
+            print(f"model {args.model!r} has no state-space (SSM) form; "
+                  "pg supports: "
+                  + ", ".join(k for k, e in registry.items() if "ssm" in e),
+                  file=sys.stderr)
+            return 2
+        obs = jnp.ravel(jnp.asarray(observes[0], jnp.float32))
+        trajs, log_zs = particle_gibbs(
+            ssm, obs, args.n_particles, args.iters, key, burn_in=args.burn_in,
+        )
+        trajs = np.asarray(trajs, np.float32)  # (iters-burn, T)
+        means = trajs.mean(axis=0)
+        stds = trajs.std(axis=0)
+        kept = trajs.shape[0]
+        print(f"particle-Gibbs: {kept} kept sweeps "
+              f"(N={args.n_particles}, burn-in {args.burn_in})")
+        for t in range(means.shape[0]):
+            print(f"z[{t}]  mean {means[t]: .5f}  sd {stds[t]:.5f}")
+        upd = float((trajs[1:] != trajs[:-1]).any(axis=1).mean())
+        print(f"trajectory update rate: {upd:.3f}", file=sys.stderr)
+        return 0
+
+    if args.mode == "tempered":
+        from .inference.smc_sampler import smc_sampler
+
+        res = smc_sampler(
+            model, observes, args.n_particles, key,
+            waste_free=args.waste_free,
+        )
+        print(f"log_evidence: {float(res.log_evidence):.6f}")
+        print(f"temperature stages: {int(res.n_stages)}  "
+              f"hmc accept: {float(res.accept_rate):.3f}")
+        for addr, vals in res.samples.items():
+            vals = np.asarray(vals, np.float32)
+            flat = vals.reshape(vals.shape[0], -1)
+            m = flat.mean(axis=0)
+            v = flat.var(axis=0)
+            print(f"{addr}: mean {np.array2string(m, precision=5)} "
+                  f"var {np.array2string(v, precision=5)}")
         return 0
 
     if args.mode == "compile":

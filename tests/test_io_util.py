@@ -215,3 +215,20 @@ class TestOrbaxCheckpoint:
         out = load_pytree_orbax(p)
         np.testing.assert_allclose(np.asarray(out["w"]), [0, 1, 2, 3])
         np.testing.assert_allclose(np.asarray(out["b"]), [1, 1])
+
+    def test_pg_mode(self):
+        r = _run_cli("--model", "hmm", "-m", "pg", "-n", "16",
+                     "--iters", "50", "--burn-in", "10",
+                     "-o", "[0.9 0.8 0.7 0.0 1.1]")
+        assert r.returncode == 0, r.stderr
+        assert "z[4]" in r.stdout
+
+    def test_pg_mode_needs_ssm(self):
+        r = _run_cli("--model", "gaussian", "-m", "pg", "-o", "3.0 4.0")
+        assert r.returncode == 2
+
+    def test_tempered_mode(self):
+        r = _run_cli("--model", "gaussian", "-m", "tempered", "-n", "1024",
+                     "-o", "3.0 4.0")
+        assert r.returncode == 0, r.stderr
+        assert "log_evidence" in r.stdout and "mu" in r.stdout
