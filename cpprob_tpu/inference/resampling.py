@@ -26,6 +26,7 @@ __all__ = [
     "category_counts_systematic",
     "states_from_counts",
     "exchange_resample_discrete",
+    "sorted_systematic_resample_values",
 ]
 
 
@@ -207,6 +208,45 @@ def exchange_resample_discrete(
     cat_w = category_weights(log_weights, states, n_categories)
     counts = category_counts_systematic(u0, cat_w, n_out)
     return states_from_counts(counts, n_out, dtype=states.dtype)
+
+
+def sorted_systematic_resample_values(
+    key: jax.Array, log_weights: jax.Array, states: jax.Array,
+    n_out: int | None = None,
+) -> jax.Array:
+    """Systematic resampling of a **scalar continuous** state population under
+    the sorted-by-value exchangeable ordering; returns the new (sorted) states
+    directly — no ancestor indices, no per-particle gather.
+
+    The continuous-state sibling of :func:`exchange_resample_discrete`.
+    Particles are exchangeable, so sorting by state value before systematic
+    resampling is statistically valid (and variance-reducing — the ordered
+    stratification of Gerber & Chopin's SQMC / Murray et al. 1301.4019 §V).
+    Under the sorted order the output population is itself sorted, so it can
+    be synthesized by a *carry-forward fill*: scatter each input's value at
+    its first output slot (slot ``ceil(n*cdf_{i-1} - u0)``) and take a running
+    max — correct because values are ascending.  Cost: one fused
+    ``lax.sort`` pair + one monotone scatter + one ``cummax``; this replaces
+    the ancestors+gather epoch whose random-access gather runs ~500x below
+    streaming bandwidth on TPU (see the exchange-resampler notes above).
+
+    Genealogy is not tracked (the output order is the sorted order), so the
+    engine only uses this when no filtering history is stored.
+    """
+    n = log_weights.shape[0]
+    n_out = n if n_out is None else n_out
+    sorted_s, sorted_lw = jax.lax.sort((states, log_weights), num_keys=1)
+    cdf = _normalized_cumsum(sorted_lw)
+    u0 = jax.random.uniform(key, ())
+    prev = jnp.concatenate([jnp.zeros((1,), cdf.dtype), cdf[:-1]])
+    starts = jnp.clip(
+        jnp.ceil(n_out * prev - u0).astype(jnp.int32), 0, n_out
+    )
+    # Colliding starts (zero-count particles) resolve to the largest collider
+    # via .max — under ascending order that is exactly the slot's true owner.
+    fill = jnp.full((n_out,), -jnp.inf, sorted_s.dtype)
+    fill = fill.at[starts].max(sorted_s, mode="drop")
+    return jax.lax.cummax(fill)
 
 
 _RESAMPLERS = {

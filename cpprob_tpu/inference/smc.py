@@ -30,6 +30,7 @@ from .resampling import (
     category_counts_systematic,
     category_weights,
     get_resampler,
+    sorted_systematic_resample_values,
     states_from_counts,
 )
 
@@ -90,6 +91,11 @@ class StateSpaceModel:
     # per-particle genealogy is not tracked, so the engine only uses it when
     # no history is stored.
     state_categories: Optional[int] = None
+    # For *scalar continuous* state spaces: enables the sorted-population
+    # systematic resampler (sort + carry-forward fill — no per-particle
+    # gather; see resampling.sorted_systematic_resample_values).  Same
+    # no-genealogy caveat as state_categories.
+    scalar_state: bool = False
 
 
 class SMCResult(NamedTuple):
@@ -127,6 +133,7 @@ def make_smc_step(
     resampler: Callable,
     store_history: bool = True,
     exchange: bool = False,
+    sorted_fill: bool = False,
 ):
     """Build the scan body: (key, states, log_w, log_Z, ess), y_t -> carry.
 
@@ -149,7 +156,15 @@ def make_smc_step(
 
         do_resample = ess < ess_threshold * n_particles
 
-        if exchange:
+        if sorted_fill:
+            def resample_branch(_):
+                new_states = sorted_systematic_resample_values(
+                    k_res, log_w, states
+                )
+                new_log_z = log_z + _log_mean_exp(log_w)
+                anc = jnp.arange(n_particles, dtype=jnp.int32)
+                return new_states, jnp.zeros_like(log_w), new_log_z, anc
+        elif exchange:
             def resample_branch(_):
                 u0 = jax.random.uniform(k_res, ())
                 cat_w = category_weights(
@@ -290,6 +305,13 @@ def build_smc_run(
         and not store_history
         and resampling == "systematic"
     )
+    sorted_ok = (
+        not guided
+        and model.scalar_state
+        and model.state_categories is None
+        and not store_history
+        and resampling == "systematic"
+    )
     fused_exchange = exchange_ok and model.fused_step_exchange_batch is not None
     if fused_exchange:
         step = make_smc_step_exchange_fused(
@@ -298,7 +320,7 @@ def build_smc_run(
     else:
         step = make_smc_step(
             model, n_particles, ess_threshold, resampler, store_history,
-            exchange=exchange_ok,
+            exchange=exchange_ok, sorted_fill=sorted_ok,
         )
 
     def run(key, observations):

@@ -37,6 +37,9 @@ linear_gaussian_ssm = StateSpaceModel(
     step_sample_batch=lambda key, s, t: s + jax.random.normal(key, s.shape),
     obs_logpdf_batch=lambda s, y, t: -0.5 * (y - s) ** 2 - 0.9189385332046727,
     obs_sample=lambda key, s, t: s + jax.random.normal(key, ()),
+    # scalar continuous state => sorted-population systematic resampler
+    # (no per-particle gather) when no history is stored
+    scalar_state=True,
 )
 
 
