@@ -16,6 +16,7 @@ from .core import (
     metaobserve,
     observe,
     predict,
+    guarded_rejection,
     rejection_sample,
     rejection_sampling,
     sample,
@@ -45,6 +46,7 @@ __all__ = [
     "factor",
     "metaobserve",
     "rejection_sampling",
+    "guarded_rejection",
     "rejection_sample",
     "handlers",
     "distributions",

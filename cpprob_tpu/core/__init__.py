@@ -4,6 +4,7 @@ from .primitives import (
     metaobserve,
     observe,
     predict,
+    guarded_rejection,
     rejection_sample,
     rejection_sampling,
     sample,
@@ -17,5 +18,6 @@ __all__ = [
     "factor",
     "metaobserve",
     "rejection_sampling",
+    "guarded_rejection",
     "rejection_sample",
 ]

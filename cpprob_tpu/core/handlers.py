@@ -84,6 +84,9 @@ def new_message(mtype: str, name: Optional[str], dist=None, value=None, **kw) ->
         "log_weight": None,     # importance-weight increment for this site
         "proposal_dist": None,  # set by guided (CSIS) messengers
         "rejection": False,     # inside a rejection_sampling guard
+        "postselect": None,     # (done_flag, kept_value): freeze the site's
+                                # value once a rejection loop has accepted —
+                                # the static-shape emulation of loop exit
         "mask": None,           # multiplicative mask on weight contributions
         "stop": False,
         "done": False,
@@ -129,22 +132,22 @@ def default_process(msg: Dict[str, Any]) -> None:
         dist = msg["dist"]
         if msg["value"] is None:
             proposal = msg["proposal_dist"]
+            if msg["key"] is None:
+                raise RuntimeError(
+                    f"sample site {msg['name']!r} needs a PRNG key: wrap the "
+                    "model in cpprob_tpu.handlers.Seed(key)"
+                )
+            x = (proposal if proposal is not None else dist).sample(msg["key"])
+            if msg["postselect"] is not None:
+                # rejection-loop exit emulation: once `done`, the site keeps
+                # re-emitting the accepted value, so the LAST occurrence per
+                # address is the accepted draw — the reference's keep-last
+                # dedup (state.cpp:124-142) under static shapes.
+                done, kept = msg["postselect"]
+                x = jnp.where(done, kept, x)
+            msg["value"] = x
             if proposal is not None:
-                if msg["key"] is None:
-                    raise RuntimeError(
-                        f"sample site {msg['name']!r} needs a PRNG key: wrap the "
-                        "model in cpprob_tpu.handlers.Seed(key)"
-                    )
-                x = proposal.sample(msg["key"])
-                msg["value"] = x
                 msg["log_weight"] = dist.log_prob(x) - proposal.log_prob(x)
-            else:
-                if msg["key"] is None:
-                    raise RuntimeError(
-                        f"sample site {msg['name']!r} needs a PRNG key: wrap the "
-                        "model in cpprob_tpu.handlers.Seed(key)"
-                    )
-                msg["value"] = dist.sample(msg["key"])
         elif msg["proposal_dist"] is not None and msg["log_weight"] is None:
             x = msg["value"]
             msg["log_weight"] = dist.log_prob(x) - msg["proposal_dist"].log_prob(x)
@@ -229,6 +232,14 @@ class TraceHandler(Messenger):
         if msg["type"] in ("sample", "observe", "metaobserve"):
             name = msg["name"]
             if name in self.trace:
+                if msg["rejection"]:
+                    # inside a rejection guard: keep only the LAST draw per
+                    # address — compile-mode dedup exactly as the reference's
+                    # StateCompile guard exit (state.cpp:124-142); combined
+                    # with `postselect` loop-exit freezing this records the
+                    # accepted draw for NN training
+                    self.trace[name] = dict(msg)
+                    return
                 # repeated address (loops without scoping): suffix occurrence
                 i = 1
                 while f"{name}@{i}" in self.trace:

@@ -26,16 +26,22 @@ __all__ = [
     "metaobserve",
     "rejection_sampling",
     "rejection_sample",
+    "guarded_rejection",
 ]
 
 
-def sample(dist, *, addr: Optional[str] = None, control: bool = True, obs=None):
+def sample(dist, *, addr: Optional[str] = None, control: bool = True, obs=None,
+           postselect=None):
     """Draw a random value from ``dist`` at address ``addr``.
 
     ``control=False`` marks the site as not-to-be-guided: CSIS proposal
     messengers skip it and always use the prior (``cpprob.hpp:28-35``).
     ``obs`` conditions the site on a value (counterpart of substituting an
     observed sample site).
+    ``postselect=(done, kept)`` freezes the site at ``kept`` once the traced
+    bool ``done`` is set — used by :func:`guarded_rejection` to emulate
+    rejection-loop exit under static shapes (the recorded value and any
+    Radon–Nikodym weight are computed at the selected value).
     """
     if not handlers.current_stack():
         raise RuntimeError(
@@ -44,7 +50,7 @@ def sample(dist, *, addr: Optional[str] = None, control: bool = True, obs=None):
         )
     msg = new_message(
         "sample", addr, dist=dist, value=obs, control=control,
-        is_observed=obs is not None,
+        is_observed=obs is not None, postselect=postselect,
     )
     return apply_stack(msg)["value"]
 
@@ -130,3 +136,48 @@ def rejection_sample(
     ok0 = accept(x0, k_acc)
     _, x, _, iters = jax.lax.while_loop(cond, body, (k0, x0, ok0, jnp.int32(1)))
     return x, iters
+
+
+def guarded_rejection(
+    dist,
+    accept: Callable[[Any], jax.Array],
+    *,
+    addr: str,
+    max_iters: int = 16,
+):
+    """Rejection loop written with *addressed* guard sites — the TPU-native
+    form of the reference's ``rejection_sampling { do {..} while }`` pattern
+    (``models.hpp:82-112`` + guard dedup ``state.cpp:124-142``).
+
+    Each attempt samples at the SAME address ``addr`` inside a
+    :func:`rejection_sampling` guard; once ``accept(x)`` fires, subsequent
+    attempts re-emit the accepted value (``postselect``), so the **last
+    occurrence per address is the accepted draw**.  Consequences matching the
+    reference:
+
+    - compile mode: :class:`~cpprob_tpu.core.handlers.TraceHandler` keeps only
+      the last draw, so CSIS trains on the *accepted-draw* distribution;
+    - inference: :class:`~cpprob_tpu.core.handlers.LogWeight` keeps only the
+      last Radon–Nikodym term — the accepted draw's (``state.cpp:225-238``);
+    - CSIS proposals are computed once per address and cached for the whole
+      guard block (``state.hpp:239-262``).
+
+    ``accept`` must be deterministic given ``x`` (stochastic acceptance draws
+    go through their own ``control=False`` sites inside ``accept``).  Returns
+    ``(value, accepted_mask)``; with probability ``(1-p)^max_iters`` no draw
+    is accepted and the final raw draw is returned with ``accepted_mask``
+    False (bounded loop — JAX static shapes).
+    """
+    done = jnp.zeros((), bool)
+    kept = None
+    with rejection_sampling():
+        for _ in range(max_iters):
+            if kept is None:
+                x = sample(dist, addr=addr)
+                kept = x
+            else:
+                x = sample(dist, addr=addr, postselect=(done, kept))
+            ok = jnp.asarray(accept(x))
+            kept = jnp.where(done, kept, jnp.where(ok, x, kept))
+            done = jnp.logical_or(done, ok)
+    return jnp.where(done, kept, x), done

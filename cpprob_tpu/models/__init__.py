@@ -22,7 +22,10 @@ from .poly import (
     poly_adjustment,
     poly_adjustment_prior_gen,
 )
-from .rejection import normal_rejection_sampling
+from .rejection import (
+    normal_rejection_sampling,
+    normal_rejection_sampling_guard,
+)
 from .sherpa import (
     CHANNEL_MOMENTA,
     calo_simulation,
@@ -52,6 +55,7 @@ __all__ = [
     "eval_poly",
     "poly_adjustment_prior_gen",
     "normal_rejection_sampling",
+    "normal_rejection_sampling_guard",
     "sherpa_mini",
     "sherpa_mini_wrapper",
     "sherpa_calorimeter_wrapper",

@@ -17,10 +17,10 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..core import observe, predict, rejection_sample, sample
+from ..core import guarded_rejection, observe, predict, rejection_sample, sample
 from ..distributions import Normal, Uniform
 
-__all__ = ["normal_rejection_sampling"]
+__all__ = ["normal_rejection_sampling", "normal_rejection_sampling_guard"]
 
 _MU0 = 1.0
 _SIGMA0 = math.sqrt(5.0)
@@ -47,6 +47,32 @@ def normal_rejection_sampling(y1, y2):
     # Re-enter as an observed sample site: prior log-prob contributes nothing
     # in SIS (prior proposal), matching the reference where the guard's
     # samples are importance-neutral under the prior.
+    likelihood = Normal(mu, _SIGMA)
+    observe(likelihood, y1, addr="y1")
+    observe(likelihood, y2, addr="y2")
+    predict(mu, "Mu")
+    return mu
+
+
+def normal_rejection_sampling_guard(y1, y2):
+    """Guard-form of :func:`normal_rejection_sampling` — the thesis ch. 6.2
+    scenario: the rejection loop's draws are *addressed* sites inside a
+    ``rejection_sampling`` guard (``models.hpp:82-112``), so compile-mode
+    trace dedup keeps only the accepted draw (``state.cpp:124-142``), guided
+    inference caches one proposal per address for the whole block
+    (``state.hpp:239-262``), and the log-weight counts only the accepted
+    draw's Radon–Nikodym term (``state.cpp:225-238``)."""
+    prior = Normal(_MU0, _SIGMA0)
+    max_pdf = jnp.exp(prior.log_prob(_MU0))
+    # +-4 sigma envelope: accept prob ~ sqrt(2pi)/8 ~ 0.31 per attempt;
+    # P(no accept in 32) ~ 6e-6 (bounded loop, JAX static shapes)
+    proposal = Uniform(_MU0 - 4.0 * _SIGMA0, _MU0 + 4.0 * _SIGMA0)
+
+    def accept(x):
+        u = sample(Uniform(0.0, max_pdf), addr="u_accept", control=False)
+        return u <= jnp.exp(prior.log_prob(x))
+
+    mu, _ = guarded_rejection(proposal, accept, addr="mu", max_iters=32)
     likelihood = Normal(mu, _SIGMA)
     observe(likelihood, y1, addr="y1")
     observe(likelihood, y2, addr="y2")
