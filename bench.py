@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
     ap.add_argument("--block-r", type=int, default=512,
                     help="Pallas block rows (particles per block = 128*block_r)")
+    ap.add_argument("--chunk", type=int, default=5,
+                    help="timesteps fused per kernel launch (pallas impl): "
+                         "particle tiles stay VMEM-resident across the chunk; "
+                         "ESS resample checks move to chunk boundaries. "
+                         "1 = per-step kernel")
     ap.add_argument("--watchdog", type=int, default=1200,
                     help="seconds before the parent assumes the TPU tunnel is "
                          "wedged and emits an error JSON line (0 = off)")
@@ -113,10 +118,11 @@ def main():
         obs.append(rng.normal(HMM_MEANS[z], 1.0))
     obs = jnp.asarray(np.asarray(obs, np.float32))
 
+    chunk = args.chunk if impl == "pallas" else 1
     run = jax.jit(
         build_smc_run(
             model, n_particles, ess_threshold=0.5, resampling="systematic",
-            store_history=False,
+            store_history=False, chunk=chunk,
         )
     )
 
@@ -149,6 +155,7 @@ def main():
             "device": str(jax.devices()[0]),
             "iters": iters,
             "impl": impl,
+            "chunk": chunk,
         },
     }
     print(json.dumps(out))

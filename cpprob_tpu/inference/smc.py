@@ -81,6 +81,16 @@ class StateSpaceModel:
     # (key, states, log_w, y, t, flag, ticks) ->
     #     (s', w', ess', cat_w'(K,), lme').  Fastest path for discrete SSMs.
     fused_step_exchange_batch: Optional[Callable] = None
+    # Multi-step chunk variants: run ys.shape[0] fused updates in ONE kernel
+    # launch with the particle tile resident in VMEM (HBM traffic amortized
+    # from per-step to per-chunk; resampling decisions move to chunk
+    # boundaries — see build_smc_run(chunk=...)).
+    # (key, states, log_w, ys, n_valid, flag, ticks) ->
+    #     (s', w', ess', cat_w'(K,), lme')
+    fused_chunk_exchange_batch: Optional[Callable] = None
+    # Continuous-state version, resample stays on the XLA side:
+    # (key, states, log_w, ys, n_valid) -> (s', w', ess')
+    fused_chunk_batch: Optional[Callable] = None
     # Emission simulator (key, state, t) -> y, needed to train amortized
     # proposals on prior rollouts (compile-mode analogue for SSMs).
     obs_sample: Optional[Callable] = None
@@ -284,6 +294,98 @@ def make_smc_step_exchange_fused(
     return step
 
 
+def make_smc_step_exchange_fused_chunked(
+    model: StateSpaceModel,
+    n_particles: int,
+    ess_threshold: float,
+):
+    """Scan body over observation *chunks*: one multi-step kernel launch per
+    chunk (particle tile VMEM-resident across the chunk's steps), resampling
+    decided at chunk boundaries from the previous chunk's streaming stats.
+
+    Blocked adaptive resampling: the ESS trigger is evaluated every
+    chunk-size steps instead of every step.  The evidence estimator stays
+    unbiased for any adapted resampling schedule; chunk size trades HBM
+    traffic (1/chunk per step) against resampling granularity.
+    """
+
+    def step(carry, ys_and_valid):
+        ys, n_valid = ys_and_valid           # (C,), int32
+        key, states, log_w, log_z, ess, cat_w, lme = carry
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        do_resample = ess < ess_threshold * n_particles
+        u0 = jax.random.uniform(k_res, ())
+        b = jnp.cumsum(cat_w)
+        b = b / b[-1]
+        ticks = jnp.ceil(n_particles * b - u0).astype(jnp.int32)
+        ticks = jnp.clip(ticks, 0, n_particles).at[-1].set(n_particles)
+        ticks = jax.lax.cummax(ticks)[:-1]
+        log_z_r = log_z + jnp.where(do_resample, lme, 0.0)
+
+        new_states, new_log_w, new_ess, new_cat_w, new_lme = (
+            model.fused_chunk_exchange_batch(
+                k_prop, states, log_w, ys, n_valid,
+                do_resample.astype(jnp.int32), ticks,
+            )
+        )
+        return (
+            (key, new_states, new_log_w, log_z_r, new_ess, new_cat_w, new_lme),
+            (do_resample,),
+        )
+
+    return step
+
+
+def make_smc_step_chunked(
+    model: StateSpaceModel,
+    n_particles: int,
+    ess_threshold: float,
+):
+    """Chunked scan body for *continuous scalar* states: sorted-fill
+    systematic resample at chunk boundaries (XLA side), then one multi-step
+    fused kernel launch for the chunk's propagate+reweight updates."""
+
+    def step(carry, ys_and_valid):
+        ys, n_valid = ys_and_valid
+        key, states, log_w, log_z, ess = carry
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        do_resample = ess < ess_threshold * n_particles
+
+        def resample_branch(_):
+            new_states = sorted_systematic_resample_values(
+                k_res, log_w, states
+            )
+            return new_states, jnp.zeros_like(log_w), log_z + _log_mean_exp(log_w)
+
+        def keep_branch(_):
+            return states, log_w, log_z
+
+        states_r, log_w_r, log_z_r = jax.lax.cond(
+            do_resample, resample_branch, keep_branch, operand=None
+        )
+        new_states, new_log_w, new_ess = model.fused_chunk_batch(
+            k_prop, states_r, log_w_r, ys, n_valid
+        )
+        return (key, new_states, new_log_w, log_z_r, new_ess), (do_resample,)
+
+    return step
+
+
+def _chunk_observations(observations, chunk: int):
+    """Pad (T-1,) tail observations into (n_chunks, chunk) + valid counts."""
+    ys = observations[1:]
+    t_rest = ys.shape[0]
+    n_chunks = -(-t_rest // chunk)
+    pad = n_chunks * chunk - t_rest
+    ys = jnp.pad(ys, (0, pad))
+    valid = jnp.minimum(
+        jnp.maximum(t_rest - jnp.arange(n_chunks) * chunk, 0), chunk
+    ).astype(jnp.int32)
+    return ys.reshape(n_chunks, chunk), valid
+
+
 def build_smc_run(
     model: StateSpaceModel,
     n_particles: int,
@@ -291,12 +393,19 @@ def build_smc_run(
     ess_threshold: float = 0.5,
     resampling: str = "systematic",
     store_history: bool = False,
+    chunk: int = 1,
 ):
     """Build ``run(key, observations) -> SMCResult`` once; jit and reuse it
     across calls (keeps the compilation cache warm for benchmarking and
     repeated inference).  ``store_history=False`` keeps only the final
     particle population (no (T, N) buffers — HBM-bandwidth-friendly; the
-    filtering history costs 2 full-population writes per step)."""
+    filtering history costs 2 full-population writes per step).
+
+    ``chunk`` > 1 (requires a ``fused_chunk_*`` kernel on the model, no
+    history): process that many timesteps per kernel launch with the particle
+    tile VMEM-resident — HBM traffic drops to 1/chunk per step; the ESS
+    resampling trigger is evaluated at chunk boundaries (blocked adaptive
+    resampling, still an unbiased evidence estimator)."""
     resampler = get_resampler(resampling)
     guided = model.proposal_sample is not None
     exchange_ok = (
@@ -312,8 +421,27 @@ def build_smc_run(
         and not store_history
         and resampling == "systematic"
     )
+    chunk_exchange = (
+        chunk > 1
+        and exchange_ok
+        and model.fused_chunk_exchange_batch is not None
+    )
+    chunk_sorted = (
+        chunk > 1 and sorted_ok and model.fused_chunk_batch is not None
+    )
+    if chunk > 1 and not (chunk_exchange or chunk_sorted):
+        raise ValueError(
+            "chunk > 1 needs a fused_chunk_* kernel on the model and "
+            "store_history=False with systematic resampling"
+        )
     fused_exchange = exchange_ok and model.fused_step_exchange_batch is not None
-    if fused_exchange:
+    if chunk_exchange:
+        step = make_smc_step_exchange_fused_chunked(
+            model, n_particles, ess_threshold
+        )
+    elif chunk_sorted:
+        step = make_smc_step_chunked(model, n_particles, ess_threshold)
+    elif fused_exchange:
         step = make_smc_step_exchange_fused(
             model, n_particles, ess_threshold
         )
@@ -349,6 +477,38 @@ def build_smc_run(
             )(states0)
 
         ts = jnp.arange(1, observations.shape[0])
+        if chunk_exchange:
+            cat_w0 = category_weights(
+                log_w0, states0, model.state_categories
+            )
+            ys_chunks, valid = _chunk_observations(observations, chunk)
+            carry0 = (
+                key, states0, log_w0, jnp.zeros(()), _ess(log_w0),
+                cat_w0, _log_mean_exp(log_w0),
+            )
+            (key_f, states_f, log_w_f, log_z, *_), ys = jax.lax.scan(
+                step, carry0, (ys_chunks, valid)
+            )
+            log_z = log_z + _log_mean_exp(log_w_f)
+            resampled = jnp.concatenate(
+                [jnp.zeros((1,), bool), ys[0]], axis=0
+            )
+            return SMCResult(
+                None, None, None, resampled, log_z, states_f, log_w_f
+            )
+        if chunk_sorted:
+            ys_chunks, valid = _chunk_observations(observations, chunk)
+            carry0 = (key, states0, log_w0, jnp.zeros(()), _ess(log_w0))
+            (key_f, states_f, log_w_f, log_z, _e), ys = jax.lax.scan(
+                step, carry0, (ys_chunks, valid)
+            )
+            log_z = log_z + _log_mean_exp(log_w_f)
+            resampled = jnp.concatenate(
+                [jnp.zeros((1,), bool), ys[0]], axis=0
+            )
+            return SMCResult(
+                None, None, None, resampled, log_z, states_f, log_w_f
+            )
         if fused_exchange:
             cat_w0 = category_weights(
                 log_w0, states0, model.state_categories

@@ -27,8 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "pallas_hmm_fused_step",
     "pallas_hmm_fused_step_exchange",
+    "pallas_hmm_fused_chunk",
     "make_pallas_hmm_ssm",
     "pallas_lg_fused_step",
+    "pallas_lg_fused_chunk",
     "make_pallas_lg_ssm",
     "pallas_available",
 ]
@@ -239,6 +241,144 @@ def pallas_hmm_fused_step_exchange(
     return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
 
 
+def _make_chunk_kernel(n_steps: int, hw_prng: bool):
+    """Multi-step fused HMM kernel: ``n_steps`` transition+reweight updates
+    executed back-to-back on a VMEM-resident particle tile — ONE HBM
+    read+write of (state, log_w) per *chunk* instead of per step, amortizing
+    the 16 B/particle-step traffic of the single-step kernel to
+    16/n_steps B/particle-step (the VERDICT round-1 headroom item).
+
+    Chunk-start exchange resampling via ctrl (flag, t0, t1) exactly as
+    :func:`pallas_hmm_fused_step_exchange`; ctrl[3] = number of *valid* steps
+    (< n_steps on the ragged final chunk — invalid steps are masked to
+    identity).  Emits the same streaming (max, sum e, sum e^2, per-category
+    sums) partials for the next boundary's ESS check + category weights.
+    """
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
+               out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+
+        block_r = states_ref.shape[0]
+        flag = ctrl_ref[0] > 0
+        n_valid = ctrl_ref[3]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
+        j = (i * block_r + rowid) * _LANES + lane
+        synth = (j >= ctrl_ref[1]).astype(jnp.int32) + (
+            j >= ctrl_ref[2]
+        ).astype(jnp.int32)
+        s = jnp.where(flag, synth, states_ref[:])
+        w = jnp.where(flag, 0.0, logw_ref[:])
+
+        for t in range(n_steps):  # static unroll, particles stay in VMEM
+            if hw_prng:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+                )
+                u = _uniform_from_bits(bits)
+            else:
+                u = jnp.zeros(states_ref.shape, jnp.float32)
+            c0 = _select3(s, _TRANS_CDF[0, 0], _TRANS_CDF[1, 0],
+                          _TRANS_CDF[2, 0])
+            c1 = _select3(s, _TRANS_CDF[0, 1], _TRANS_CDF[1, 1],
+                          _TRANS_CDF[2, 1])
+            ns = (u >= c0).astype(jnp.int32) + (u >= c1).astype(jnp.int32)
+            y = ys_ref[t]
+            mean = _select3(ns, _MEANS[0], _MEANS[1], _MEANS[2])
+            d = y - mean
+            nw = w + (-0.5 * d * d - _HALF_LOG_2PI)
+            valid = t < n_valid
+            s = jnp.where(valid, ns, s)
+            w = jnp.where(valid, nw, w)
+
+        out_s_ref[:] = s
+        out_w_ref[:] = w
+
+        m = jnp.max(w)
+        e = jnp.exp(w - m)
+        vals = (
+            m,
+            jnp.sum(e),
+            jnp.sum(e * e),
+            jnp.sum(jnp.where(s == 0, e, 0.0)),
+            jnp.sum(jnp.where(s == 1, e, 0.0)),
+            jnp.sum(jnp.where(s == 2, e, 0.0)),
+        )
+        plane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        row = jnp.zeros((8, _LANES), jnp.float32)
+        for idx, v in enumerate(vals):
+            row = jnp.where((prow == 0) & (plane == idx), v, row)
+        part_ref[:, :] = row
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "block_r", "interpret")
+)
+def pallas_hmm_fused_chunk(
+    seed, states, log_w, ys, n_valid, flag, ticks,
+    n_steps: int, block_r: int = _BLOCK_R, interpret: bool = False,
+):
+    """Fused multi-step chunk (``n_steps`` HMM updates in one launch) with
+    flagged chunk-start exchange resampling.  ``ys``: (n_steps,) f32
+    observations; ``n_valid``: int32 count of valid steps (ragged tail);
+    ``flag``/``ticks`` as in :func:`pallas_hmm_fused_step_exchange`.
+    Returns (new_states, new_log_w, ess, cat_w(3,), lme)."""
+    n = states.shape[0]
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    n_blocks = r // block_r
+    s2 = states.reshape(r, _LANES)
+    w2 = log_w.reshape(r, _LANES)
+    ctrl = jnp.concatenate(
+        [
+            jnp.asarray(flag, jnp.int32).reshape(1),
+            jnp.asarray(ticks, jnp.int32).reshape(2),
+            jnp.asarray(n_valid, jnp.int32).reshape(1),
+        ]
+    )
+    out_s, out_w, partials = pl.pallas_call(
+        _make_chunk_kernel(n_steps, hw_prng=not interpret),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(ys, jnp.float32).reshape(n_steps),
+        ctrl,
+        s2,
+        w2,
+    )
+    ess, cat_w, lme = stats_from_partials(partials, n)
+    return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
+
+
 def ess_from_partials(partials: jax.Array) -> jax.Array:
     """Combine per-block (max, sum e, sum e^2) into the global Kish ESS.
     ``partials``: (n_blocks*8, 128); block i's stats sit at row 8i, lanes 0-2."""
@@ -372,6 +512,110 @@ def pallas_lg_fused_step(
     return out_s.reshape(n), out_w.reshape(n)
 
 
+def _make_lg_chunk_kernel(n_steps: int, hw_prng: bool):
+    """Multi-step fused linear-Gaussian kernel: ``n_steps`` random-walk
+    propagate + reweight updates on a VMEM-resident float tile (one HBM
+    read+write per chunk).  Resampling for continuous states happens on the
+    XLA side between chunks (sorted-fill), so there is no in-kernel exchange;
+    the kernel emits (max, sum e, sum e^2) partials for the boundary ESS."""
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
+               out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+        n_valid = ctrl_ref[0]
+        x = states_ref[:]
+        w = logw_ref[:]
+        for t in range(n_steps):
+            if hw_prng:
+                b1 = pltpu.bitcast(
+                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+                )
+                b2 = pltpu.bitcast(
+                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+                )
+                u1 = _uniform_from_bits(b1)
+                u2 = _uniform_from_bits(b2)
+            else:
+                u1 = jnp.full(states_ref.shape, 0.5, jnp.float32)
+                u2 = jnp.zeros(states_ref.shape, jnp.float32)
+            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            eps = r * jnp.cos(2.0 * jnp.pi * u2)
+            nx = x + eps
+            y = ys_ref[t]
+            d = y - nx
+            nw = w + (-0.5 * d * d - _HALF_LOG_2PI)
+            valid = t < n_valid
+            x = jnp.where(valid, nx, x)
+            w = jnp.where(valid, nw, w)
+        out_s_ref[:] = x
+        out_w_ref[:] = w
+        m = jnp.max(w)
+        e = jnp.exp(w - m)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        row = jnp.where(
+            (rowid == 0) & (lane == 0), m,
+            jnp.where((rowid == 0) & (lane == 1), jnp.sum(e),
+                      jnp.where((rowid == 0) & (lane == 2),
+                                jnp.sum(e * e), 0.0)),
+        )
+        part_ref[:, :] = row
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "block_r", "interpret")
+)
+def pallas_lg_fused_chunk(
+    seed, states, log_w, ys, n_valid,
+    n_steps: int, block_r: int = _BLOCK_R, interpret: bool = False,
+):
+    """Fused multi-step chunk for the linear-Gaussian SSM.  ``ys``:
+    (n_steps,) f32; ``n_valid``: int32 valid-step count.  Returns
+    (new_states, new_log_w, ess)."""
+    n = states.shape[0]
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    n_blocks = r // block_r
+    s2 = states.reshape(r, _LANES)
+    w2 = log_w.reshape(r, _LANES)
+    blk = lambda: pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    out_s, out_w, partials = pl.pallas_call(
+        _make_lg_chunk_kernel(n_steps, hw_prng=not interpret),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=[
+            blk(),
+            blk(),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(ys, jnp.float32).reshape(n_steps),
+        jnp.asarray(n_valid, jnp.int32).reshape(1),
+        s2,
+        w2,
+    )
+    return out_s.reshape(n), out_w.reshape(n), ess_from_partials(partials)
+
+
 def make_pallas_lg_ssm(block_r: int = _BLOCK_R):
     """Linear-Gaussian SSM with the fused Pallas step installed."""
     from ..models.linear_gaussian import linear_gaussian_ssm
@@ -381,9 +625,19 @@ def make_pallas_lg_ssm(block_r: int = _BLOCK_R):
             _key_to_seed(key), states, log_w, y, block_r=block_r
         )
 
+    def fused_chunk(key, states, log_w, ys, n_valid):
+        return pallas_lg_fused_chunk(
+            _key_to_seed(key), states, log_w, ys, n_valid,
+            n_steps=ys.shape[0], block_r=block_r,
+        )
+
     import dataclasses
 
-    return dataclasses.replace(linear_gaussian_ssm, fused_step_batch=fused)
+    return dataclasses.replace(
+        linear_gaussian_ssm,
+        fused_step_batch=fused,
+        fused_chunk_batch=fused_chunk,
+    )
 
 
 def _key_to_seed(key):
@@ -418,6 +672,12 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
             _key_to_seed(key), states, log_w, y, flag, ticks, block_r=block_r
         )
 
+    def fused_chunk(key, states, log_w, ys, n_valid, flag, ticks):
+        return pallas_hmm_fused_chunk(
+            _key_to_seed(key), states, log_w, ys, n_valid, flag, ticks,
+            n_steps=ys.shape[0], block_r=block_r,
+        )
+
     import dataclasses
 
     return dataclasses.replace(
@@ -425,4 +685,5 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
         fused_step_batch=fused,
         fused_step_ess_batch=fused_ess,
         fused_step_exchange_batch=fused_exchange,
+        fused_chunk_exchange_batch=fused_chunk,
     )

@@ -15,6 +15,7 @@ from .resampling import (
     global_ess,
     global_log_mean_exp,
     local_systematic_ancestors,
+    ring_systematic_resample,
     sharded_systematic_ancestors,
 )
 from .sis import sis_sharded
@@ -30,6 +31,7 @@ __all__ = [
     "ShardedSMCResult",
     "global_ess",
     "global_log_mean_exp",
+    "ring_systematic_resample",
     "sharded_systematic_ancestors",
     "local_systematic_ancestors",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "global_ess",
     "global_log_mean_exp",
     "sharded_systematic_ancestors",
+    "ring_systematic_resample",
     "local_systematic_ancestors",
 ]
 
@@ -87,6 +88,86 @@ def sharded_systematic_ancestors(
         full_cdf, jnp.asarray(u0, full_cdf.dtype), n_total
     )
     return jax.lax.dynamic_slice(anc_full, (my * n_local,), (n_local,))
+
+
+def ring_systematic_resample(
+    u0: jax.Array, log_w_local: jax.Array, states_local, axis_name: str
+):
+    """Exact global systematic resampling with **O(N/shard) peak memory**:
+    no all-gather of the population or its CDF.
+
+    The full-materialization version (:func:`sharded_systematic_ancestors` +
+    an ``all_gather`` of every shard's states) replicates O(N) memory and
+    traffic per epoch — the SURVEY §7 hard part this removes.  Here the
+    (states, weight-prefix-sum) block of each shard travels around the ring
+    (``ppermute``, k-1 hops); when block ``s`` passes through, a shard fills
+    exactly those of its output slots whose systematic comb positions fall in
+    block ``s``'s global CDF segment (Murray et al. arXiv:1301.4019 §IV's
+    distributed inverse-CDF, restructured as a ring so per-shard memory stays
+    O(n_local) and the hops pipeline over ICI).
+
+    Produces bitwise the same resampled population as the materializing path:
+    block boundaries ``offsets[s]/total`` equal the previous block's last CDF
+    value exactly (both are the identical f32 add-then-divide), and in-block
+    matching uses the same right-bisect tie convention as
+    ``systematic_ancestors_from_cdf``.
+
+    ``u0`` must be the same uniform on every shard.  Returns this shard's
+    slice of the resampled population (tree like ``states_local``).
+    """
+    n_local = log_w_local.shape[0]
+    my = jax.lax.axis_index(axis_name)
+    k = jax.lax.psum(1, axis_name)
+    n_total = n_local * k
+
+    m = jax.lax.pmax(jnp.max(log_w_local), axis_name)
+    w = jnp.exp(log_w_local - m)
+    local_cum = jnp.cumsum(w)
+    sums = jax.lax.all_gather(local_cum[-1], axis_name)   # (k,) scalars only
+    total = jnp.sum(sums)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), w.dtype), jnp.cumsum(sums)[:-1]]
+    )
+
+    # systematic comb positions of MY output slots, in normalized-CDF space
+    j = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    p = (j.astype(w.dtype) + jnp.asarray(u0, w.dtype)) / n_total
+
+    out0 = jax.tree_util.tree_map(jnp.zeros_like, states_local)
+    filled0 = jnp.zeros((n_local,), bool)
+
+    def round_body(r, carry):
+        cur_states, cur_cum, out, filled = carry
+        s = jnp.mod(my - r, k)                  # block currently held
+        lo = offsets[s] / total
+        hi = (offsets[s] + sums[s]) / total     # == offsets[s+1]/total bitwise
+        is_last = s == k - 1
+        bc = (cur_cum + offsets[s]) / total     # block's global CDF segment
+        t = jnp.searchsorted(bc, p, side="right")
+        t = jnp.clip(t, 0, n_local - 1).astype(jnp.int32)
+        inb = (p >= lo) & ((p < hi) | is_last) & ~filled
+        out = jax.tree_util.tree_map(
+            lambda o, bs: jnp.where(
+                inb.reshape((-1,) + (1,) * (o.ndim - 1)), bs[t], o
+            ),
+            out, cur_states,
+        )
+        filled = filled | inb
+        # pass my current block to the right neighbor (skip after last round)
+        perm = [(i, (i + 1) % int(k)) for i in range(int(k))]
+        nxt_states = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), cur_states
+        )
+        nxt_cum = jax.lax.ppermute(cur_cum, axis_name, perm)
+        return nxt_states, nxt_cum, out, filled
+
+    carry = (states_local, local_cum, out0, filled0)
+    # k (mesh size) is static inside shard_map; unrolled Python loop keeps
+    # the comm pattern explicit and lets XLA overlap hop r+1 with match r
+    for r in range(int(k)):
+        carry = round_body(r, carry)
+    _, _, out, _ = carry
+    return out
 
 
 def local_systematic_ancestors(

@@ -23,7 +23,7 @@ from .resampling import (
     global_ess,
     global_log_mean_exp,
     local_systematic_ancestors,
-    sharded_systematic_ancestors,
+    ring_systematic_resample,
 )
 
 __all__ = ["ShardedSMCResult", "smc_sharded"]
@@ -94,16 +94,10 @@ def smc_sharded(
             u_key = jax.random.fold_in(key_rep, 1_000_000 + 7)
             u0 = jax.random.uniform(jax.random.fold_in(u_key, t), ())
             if scheme == "collective":
-                anc = sharded_systematic_ancestors(u0, log_w, axis)
-                all_states = jax.tree_util.tree_map(
-                    lambda s: jax.lax.all_gather(s, axis).reshape(
-                        (n_particles,) + s.shape[1:]
-                    ),
-                    states,
-                )
-                new_states = jax.tree_util.tree_map(
-                    lambda s: s[anc], all_states
-                )
+                # exact global systematic resample with O(N/shard) peak
+                # memory: ring ppermute of (states, CDF-segment) blocks —
+                # never materializes the population or its CDF anywhere
+                new_states = ring_systematic_resample(u0, log_w, states, axis)
                 new_log_z = log_z + global_log_mean_exp(log_w, axis)
                 return new_states, jnp.zeros_like(log_w), new_log_z
             elif scheme == "exchange":

@@ -80,11 +80,14 @@ def main():
     eng = CSIS(hmm, (jnp.zeros(T),), tie_addresses=True)
     key = jax.random.key(args.seed)
 
-    # warm-up chunk with the SAME unroll so the steady-state throughput
-    # number excludes compilation (the reference's traces/s is steady-state
-    # too, logger.py:127-135)
+    # warm-up in two stages: a tiny unroll=1 compile first (the TPU fusion
+    # pass crashes on a cold unroll=25 training graph; compiling the small
+    # graph first sidesteps it), then the unroll=25 chunk so the steady-state
+    # throughput number excludes compilation (the reference's traces/s is
+    # steady-state too, logger.py:127-135)
+    params, _ = eng.compile(key, steps=1, batch_size=args.batch_size, unroll=1)
     params, warm_losses = eng.compile(
-        key, steps=25, batch_size=args.batch_size, unroll=25
+        key, steps=25, batch_size=args.batch_size, unroll=25, params=params
     )
     t0 = time.perf_counter()
     params, losses = eng.compile(

@@ -160,3 +160,100 @@ def test_exchange_kernel_tpu_matches_xla_exchange_path():
     assert abs(np.mean(z_f) - np.mean(z_x)) < 4.0 * (
         np.std(z_f) + np.std(z_x) + 1e-3
     ) / np.sqrt(6)
+
+
+def test_chunk_kernel_interpret_masking_and_synthesis():
+    """Interpret mode (CPU): zero PRNG bits => all transitions to state 0.
+    Pins down the multi-step chunk arithmetic: per-step weight accumulation,
+    ragged-tail masking (t >= n_valid is identity), and chunk-start exchange
+    synthesis."""
+    from cpprob_tpu.ops.pallas_hmm import pallas_hmm_fused_chunk
+
+    n = 128 * 256
+    logw = jnp.linspace(-1.0, 0.0, n)
+    states = jnp.ones((n,), jnp.int32)
+    ys = jnp.asarray([0.7, -0.3, 0.1, 0.9], jnp.float32)
+
+    # flag off, all 4 steps valid: u=0 sends every particle to state 0
+    # (mean -1) at step 1 and keeps it there
+    s1, w1, ess, cat_w, lme = pallas_hmm_fused_chunk(
+        jnp.int32(0), states, logw, ys, jnp.int32(4), jnp.int32(0),
+        jnp.asarray([0, 0], jnp.int32), n_steps=4, interpret=True,
+    )
+    assert np.asarray(s1).max() == 0
+    inc = sum(
+        -0.5 * (float(y) + 1.0) ** 2 - 0.9189385332046727 for y in ys
+    )
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(logw) + inc, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cat_w), [1.0, 0.0, 0.0], atol=1e-6)
+
+    # ragged tail: only first 2 steps valid
+    s2, w2, *_ = pallas_hmm_fused_chunk(
+        jnp.int32(0), states, logw, ys, jnp.int32(2), jnp.int32(0),
+        jnp.asarray([0, 0], jnp.int32), n_steps=4, interpret=True,
+    )
+    inc2 = sum(
+        -0.5 * (float(y) + 1.0) ** 2 - 0.9189385332046727 for y in ys[:2]
+    )
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(logw) + inc2, atol=1e-5)
+
+    # flag on: population synthesized from ticks, weights reset before step 1
+    s3, w3, *_ = pallas_hmm_fused_chunk(
+        jnp.int32(0), states, logw, ys, jnp.int32(1), jnp.int32(1),
+        jnp.asarray([n // 4, n // 2], jnp.int32), n_steps=4, interpret=True,
+    )
+    d = 0.7 + 1.0
+    np.testing.assert_allclose(
+        np.asarray(w3), -0.5 * d * d - 0.9189385332046727, atol=1e-6
+    )
+
+
+def test_lg_chunk_kernel_interpret():
+    """Interpret mode: u1=0.5, u2=0 => eps = sqrt(-2 ln 0.5) deterministic;
+    chunk accumulates the random walk and per-step emission logpdfs."""
+    from cpprob_tpu.ops.pallas_hmm import pallas_lg_fused_chunk
+
+    n = 128 * 256
+    x0 = jnp.linspace(-0.5, 0.5, n)
+    logw = jnp.zeros((n,))
+    ys = jnp.asarray([0.2, -0.1, 0.4], jnp.float32)
+    eps = np.sqrt(-2.0 * np.log(0.5))
+
+    s, w, ess = pallas_lg_fused_chunk(
+        jnp.int32(0), x0, logw, ys, jnp.int32(3), n_steps=3, interpret=True,
+    )
+    x = np.asarray(x0, np.float64)
+    want_w = np.zeros(n)
+    for y in np.asarray(ys):
+        x = x + eps
+        want_w += -0.5 * (y - x) ** 2 - 0.9189385332046727
+    np.testing.assert_allclose(np.asarray(s), x, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), want_w, rtol=1e-4, atol=1e-4)
+
+    # ragged: only 1 valid step
+    s1, w1, _ = pallas_lg_fused_chunk(
+        jnp.int32(0), x0, logw, ys, jnp.int32(1), n_steps=3, interpret=True,
+    )
+    x1 = np.asarray(x0) + eps
+    np.testing.assert_allclose(np.asarray(s1), x1, rtol=1e-5)
+
+
+@tpu_only
+def test_chunked_smc_matches_per_step_path():
+    """Chunked fused SMC (blocked adaptive resampling) vs the per-step fused
+    path: log-evidence distributions agree within MC error."""
+    from cpprob_tpu.inference.smc import build_smc_run
+
+    T, n = 16, 128 * 256
+    rng = np.random.RandomState(2)
+    obs = jnp.asarray(rng.normal(0.0, 1.2, size=T).astype(np.float32))
+
+    model = make_pallas_hmm_ssm(block_r=256)
+    run_c = jax.jit(build_smc_run(model, n, ess_threshold=0.5, chunk=5))
+    run_s = jax.jit(build_smc_run(model, n, ess_threshold=0.5))
+    z_c = [float(run_c(jax.random.key(i), obs).log_evidence) for i in range(6)]
+    z_s = [float(run_s(jax.random.key(70 + i), obs).log_evidence)
+           for i in range(6)]
+    assert abs(np.mean(z_c) - np.mean(z_s)) < 4.0 * (
+        np.std(z_c) + np.std(z_s) + 1e-3
+    ) / np.sqrt(6)

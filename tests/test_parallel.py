@@ -175,3 +175,72 @@ def test_csis_compile_data_parallel(mesh):
     )
     assert np.all(np.isfinite(np.asarray(losses)))
     assert float(losses[-10:].mean()) < float(losses[0])
+
+
+class TestRingResample:
+    """ring_systematic_resample: exact equivalence with the materializing
+    collective resample (VERDICT r1 item 4 — O(N/shard) memory, 2^20 x 8)."""
+
+    def test_matches_materializing_path(self, devices8):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+        from cpprob_tpu.parallel.resampling import (
+            ring_systematic_resample, sharded_systematic_ancestors,
+        )
+
+        n = 1 << 20
+        k = 8
+        mesh = Mesh(devices8, ("particles",))
+        rng = np.random.RandomState(0)
+        log_w = jnp.asarray(rng.normal(0.0, 2.0, size=n).astype(np.float32))
+        states = jnp.asarray(rng.randint(0, 1000, size=n).astype(np.int32))
+        u0 = jnp.float32(0.3781)
+
+        def old_body(log_w, states):
+            anc = sharded_systematic_ancestors(u0, log_w, "particles")
+            all_states = jax.lax.all_gather(states, "particles").reshape(n)
+            return all_states[anc]
+
+        def new_body(log_w, states):
+            return ring_systematic_resample(u0, log_w, states, "particles")
+
+        old = jax.jit(jax.shard_map(
+            old_body, mesh=mesh,
+            in_specs=(P("particles"), P("particles")),
+            out_specs=P("particles"), check_vma=False,
+        ))(log_w, states)
+        new = jax.jit(jax.shard_map(
+            new_body, mesh=mesh,
+            in_specs=(P("particles"), P("particles")),
+            out_specs=P("particles"), check_vma=False,
+        ))(log_w, states)
+        mismatch = int(np.sum(np.asarray(old) != np.asarray(new)))
+        assert mismatch == 0, f"{mismatch}/{n} slots differ"
+
+    def test_tree_states_and_weighted_concentration(self, devices8):
+        """Pytree states resample correctly; a dominant particle floods the
+        whole population across shard boundaries."""
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+        from cpprob_tpu.parallel.resampling import ring_systematic_resample
+
+        n, k = 1024, 8
+        mesh = Mesh(devices8, ("particles",))
+        log_w = jnp.full((n,), -100.0).at[137].set(10.0)
+        states = {
+            "a": jnp.arange(n, dtype=jnp.int32),
+            "b": jnp.arange(n, dtype=jnp.float32)[:, None] * jnp.ones((1, 3)),
+        }
+
+        def body(log_w, states):
+            return ring_systematic_resample(
+                jnp.float32(0.5), log_w, states, "particles"
+            )
+
+        out = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("particles"), P("particles")),
+            out_specs=P("particles"), check_vma=False,
+        ))(log_w, states)
+        assert np.all(np.asarray(out["a"]) == 137)
+        np.testing.assert_allclose(np.asarray(out["b"]), 137.0)
