@@ -18,6 +18,7 @@ from .core import (
     predict,
     guarded_rejection,
     rejection_sample,
+    scan_sites,
     rejection_sampling,
     sample,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "rejection_sampling",
     "guarded_rejection",
     "rejection_sample",
+    "scan_sites",
     "handlers",
     "distributions",
     "models",

@@ -1,4 +1,5 @@
 from . import handlers
+from .scanner import SiteIndex, scan_sites
 from .primitives import (
     factor,
     metaobserve,
@@ -20,4 +21,6 @@ __all__ = [
     "rejection_sampling",
     "guarded_rejection",
     "rejection_sample",
+    "scan_sites",
+    "SiteIndex",
 ]

@@ -355,8 +355,17 @@ class PredictCollector(Messenger):
         for name, vals in self.predicts.items():
             if len(vals) == 1:
                 out[name] = jnp.asarray(vals[0])
+                continue
+            arrs = [jnp.asarray(v) for v in vals]
+            if len({a.shape for a in arrs}) == 1:
+                out[name] = jnp.stack(arrs)
             else:
-                out[name] = jnp.stack([jnp.asarray(v) for v in vals])
+                # mixed per-site scalars and scan-stacked (k, ...) blocks
+                # (scan_sites fast path): concatenate on the leading axis
+                nd = max(a.ndim for a in arrs)
+                out[name] = jnp.concatenate(
+                    [a if a.ndim == nd else a[None] for a in arrs], axis=0
+                )
         return out
 
 

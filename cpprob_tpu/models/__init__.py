@@ -9,7 +9,7 @@ from .gaussian import (
     gaussian_unknown_mean,
     gaussian_unknown_mean_readme,
 )
-from .hmm import HMM_MEANS, HMM_TRANS, hmm, hmm_exact_posterior, hmm_ssm
+from .hmm import HMM_MEANS, HMM_TRANS, hmm, hmm_exact_posterior, hmm_scan, hmm_ssm
 from .linear_gaussian import (
     kalman_filter_1d,
     linear_gaussian_1d,
@@ -42,6 +42,7 @@ __all__ = [
     "gaussian_2d_unknown_mean",
     "gaussian_posterior_analytic",
     "hmm",
+    "hmm_scan",
     "hmm_ssm",
     "hmm_exact_posterior",
     "HMM_MEANS",

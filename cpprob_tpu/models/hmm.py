@@ -18,10 +18,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import observe, predict, sample
+from ..core.scanner import scan_sites
 from ..distributions import Categorical, Normal, UniformInt
 from ..inference.smc import StateSpaceModel
 
-__all__ = ["HMM_MEANS", "HMM_TRANS", "hmm", "hmm_ssm", "hmm_exact_posterior"]
+__all__ = [
+    "HMM_MEANS", "HMM_TRANS", "hmm", "hmm_scan", "hmm_ssm",
+    "hmm_exact_posterior",
+]
 
 # numpy (not jnp) so importing the library never initializes a JAX backend
 HMM_MEANS = np.array([-1.0, 0.0, 1.0], np.float32)
@@ -50,6 +54,31 @@ def hmm(observations):
         state = sample(Categorical(trans[state]), addr=f"z[{t}]")
         predict(state, "State")
         observe(Normal(means[state], 1.0), observations[t], addr=f"y[{t}]")
+    return state
+
+
+def hmm_scan(observations):
+    """Scan-form HMM: identical generative model to :func:`hmm`, but the time
+    loop is :func:`~cpprob_tpu.core.scanner.scan_sites` — under plain handler
+    stacks (structure discovery, compile-mode trace generation) it unrolls to
+    the same per-step addresses ``z[t]``/``y[t]`` as :func:`hmm`; under the
+    guided-inference stack it compiles as ONE ``lax.scan`` whose carry
+    threads the proposal LSTM state, so guided-SIS compile time is O(1) in
+    the trace length (use with ``CSIS(..., tie_addresses=True)``)."""
+    observations = jnp.asarray(observations)
+    means = jnp.asarray(HMM_MEANS)
+    trans = jnp.asarray(HMM_TRANS)
+    state = sample(UniformInt(0, 2), addr="z[0]")
+    predict(state, "State")
+    observe(Normal(means[state], 1.0), observations[0], addr="y[0]")
+
+    def body(state, y_t, idx):
+        state = sample(Categorical(trans[state]), addr=f"z[{idx}]")
+        predict(state, "State")
+        observe(Normal(means[state], 1.0), y_t, addr=f"y[{idx}]")
+        return state, None
+
+    state, _ = scan_sites(body, state, observations[1:], index_offset=1)
     return state
 
 
@@ -114,32 +143,33 @@ def hmm_exact_posterior(observations):
     """Exact filtered/smoothed marginals via forward-backward (for tests;
     the thesis validates against the true posterior the same way, ch. 6.3).
 
+    Pure numpy on the host: it's a correctness oracle over (3,)-vectors —
+    tiny sequential scans that only waste (and on the remote axon backend,
+    wedge) an accelerator.
+
     Returns (T, 3) smoothed posterior marginals p(z_t | y_{1:T}).
     """
-    observations = jnp.asarray(observations)
-    T = observations.shape[0]
-    emis = jax.vmap(
-        lambda y: jax.vmap(lambda m: jnp.exp(Normal(m, 1.0).log_prob(y)))(HMM_MEANS)
-    )(observations)  # (T, 3)
+    obs = np.asarray(observations, np.float64)
+    T = obs.shape[0]
+    means = np.asarray(HMM_MEANS, np.float64)
+    trans = np.asarray(HMM_TRANS, np.float64)
+    # N(mean, 1) emission densities, (T, 3)
+    emis = np.exp(-0.5 * (obs[:, None] - means[None, :]) ** 2) / np.sqrt(
+        2.0 * np.pi
+    )
 
-    init = jnp.full((3,), 1.0 / 3.0)
+    alphas = np.zeros((T, 3))
+    a = (1.0 / 3.0) * emis[0]
+    alphas[0] = a / a.sum()
+    for t in range(1, T):
+        a = (alphas[t - 1] @ trans) * emis[t]
+        alphas[t] = a / a.sum()
 
-    def fwd_step(alpha, e):
-        a = (alpha @ HMM_TRANS) * e
-        return a / jnp.sum(a), a / jnp.sum(a)
-
-    alpha0 = init * emis[0]
-    alpha0 = alpha0 / jnp.sum(alpha0)
-    _, alphas_rest = jax.lax.scan(fwd_step, alpha0, emis[1:])
-    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
-
-    def bwd_step(beta, e):
-        b = HMM_TRANS @ (e * beta)
-        return b / jnp.max(b), b / jnp.max(b)
-
-    betaT = jnp.ones((3,))
-    _, betas_rev = jax.lax.scan(bwd_step, betaT, emis[1:][::-1])
-    betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
+    betas = np.zeros((T, 3))
+    betas[T - 1] = 1.0
+    for t in range(T - 2, -1, -1):
+        b = trans @ (emis[t + 1] * betas[t + 1])
+        betas[t] = b / b.max()
 
     post = alphas * betas
-    return post / jnp.sum(post, axis=1, keepdims=True)
+    return post / post.sum(axis=1, keepdims=True)
