@@ -22,6 +22,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# honor JAX_PLATFORMS=cpu even when the host sitecustomize pre-imported jax
+# with a remote accelerator backend (env var alone is too late there)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

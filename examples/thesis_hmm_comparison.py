@@ -13,6 +13,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# honor JAX_PLATFORMS=cpu even when the host sitecustomize pre-imported jax
+# with a remote accelerator backend (env var alone is too late there)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +52,8 @@ def main():
                     help="HMM length (thesis uses 16)")
     ap.add_argument("--train-steps", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny sizes for CI smoke runs")
     args = ap.parse_args()
 
     T = args.length
@@ -59,16 +68,17 @@ def main():
     exact = np.asarray(hmm_exact_posterior(obs))
 
     print(f"training CSIS proposal on the length-{T} HMM ...", file=sys.stderr)
-    eng = CSIS(hmm, (jnp.zeros(T),))
+    eng = CSIS(hmm, (jnp.zeros(T),), tie_addresses=True)
     params, losses = eng.compile(
-        jax.random.key(args.seed), steps=args.train_steps, batch_size=256
+        jax.random.key(args.seed), steps=60 if args.quick else args.train_steps,
+        batch_size=64 if args.quick else 256, unroll=20,
     )
     print(f"loss {float(losses[0]):.2f} -> {float(losses[-1]):.2f}",
           file=sys.stderr)
 
     print(f"{'n_particles':>12} {'SIS_L2':>10} {'CSIS_L2':>10} "
           f"{'SIS_KL':>10} {'CSIS_KL':>10} {'L2_ratio':>9}")
-    for n in [10, 100, 1000, 10_000]:
+    for n in ([10, 100] if args.quick else [10, 100, 1000, 10_000]):
         k = jax.random.key(args.seed + n)
         res_sis = ct.sis(hmm, (obs,), n, k)
         res_csis = eng.infer(params, (obs,), n, k)
