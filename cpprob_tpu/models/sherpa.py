@@ -158,17 +158,20 @@ def _rot_z(v, phi):
     return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
 
 
-def calo_simulation(particles):
-    """Vectorized 35x35x20 voxel deposition simulator
-    (``calo_simulation``, ``calorimeter.cpp:135-170``).
+def calo_simulation(particles, n_bins=( _NBINX, _NBINY, _NBINZ),
+                    max_deposits: int = _MAX_DEPOSITS):
+    """Vectorized voxel deposition simulator (``calo_simulation``,
+    ``calorimeter.cpp:135-170``); default 35x35x20 bins as the reference.
 
     ``particles``: (P, 8) rows [x, y, z, energy, theta, phi, pdg_id,
     calo_visible] (the reference's particle_data layout).  Returns the voxel
-    histogram (35, 35, 20).
+    histogram ``n_bins``; ``max_deposits`` caps the Poisson deposit count
+    (static shape).
     """
+    nbx, nby, nbz = n_bins
     particles = jnp.asarray(particles, jnp.float32)
     P = particles.shape[0]
-    hist = jnp.zeros((_NBINX, _NBINY, _NBINZ), jnp.float32)
+    hist = jnp.zeros((nbx, nby, nbz), jnp.float32)
 
     for p in range(P):
         row = particles[p]

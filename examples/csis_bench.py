@@ -141,10 +141,25 @@ def main():
             l2s.append(a); kls.append(b)
         return float(np.mean(l2s)), float(np.mean(kls))
 
+    # the remote TPU compile helper ICEs (SIGILL in its fusion pass) on some
+    # guided-scan graphs; accuracy numbers are device-independent, so fall
+    # back to the in-process CPU backend when that happens
+    sweep_device = {"sis": str(jax.devices()[0]), "csis": str(jax.devices()[0])}
+
+    def robust(tag, fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:
+            print(f"{tag}: TPU compile failed ({type(e).__name__}); "
+                  "falling back to CPU for the accuracy sweep", file=sys.stderr)
+            sweep_device[tag] = "cpu (remote TPU compiler ICE fallback)"
+            with jax.default_device(jax.devices("cpu")[0]):
+                return fn(*a)
+
     for rep in range(args.seeds):
         k = jax.random.key(args.seed + 1000 * rep + 17)
-        res_sis = ct.sis(hmm_scan, (obs,), N, k)
-        res_csis = eng.infer(params, (obs,), N, k)
+        res_sis = robust("sis", lambda: ct.sis(hmm_scan, (obs,), N, k))
+        res_csis = robust("csis", lambda: eng.infer(params, (obs,), N, k))
         for n in grid:
             a, b = group_errors(res_sis, n)
             c, d = group_errors(res_csis, n)
@@ -189,6 +204,7 @@ def main():
             "loss_last": float(losses[-1]),
         },
         "accuracy": rows,
+        "sweep_device": sweep_device,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)

@@ -86,16 +86,18 @@ class TestFastPathGuided:
         )
         assert float(losses[-1]) < float(losses[0])
 
-        r_scan = eng.infer(params, (obs,), 4000, jax.random.key(5))
+        n = 1000
+        r_scan = eng.infer(params, (obs,), n, jax.random.key(5))
         factory = eng.proposal_factory(params, (obs,))
         r_unroll = sis(
-            hmm, (obs,), 4000, jax.random.key(5), proposal_messenger=factory
+            hmm, (obs,), n, jax.random.key(5), proposal_messenger=factory
         )
-        r_prior = ct.sis(hmm, (obs,), 4000, jax.random.key(5))
+        r_prior = ct.sis(hmm, (obs,), n, jax.random.key(5))
         l2 = lambda r: float(np.sum((_marginals(r) - exact) ** 2))
         l2_scan, l2_unroll, l2_prior = l2(r_scan), l2(r_unroll), l2(r_prior)
-        # guided (either path) clearly beats prior SIS; paths agree in scale
-        assert l2_scan < l2_prior / 2.0, (l2_scan, l2_prior)
+        # the thesis headline: guided beats prior SIS by >= 3x summed-L2 at
+        # 10^3 particles (measured ~10-60x, CSIS_BENCH.json; thesis ch. 6.3)
+        assert l2_prior > 3.0 * l2_scan, (l2_scan, l2_prior)
         assert l2_scan < 5.0 * max(l2_unroll, 1e-3), (l2_scan, l2_unroll)
 
     def test_t512_guided_compiles_fast(self):
