@@ -35,6 +35,11 @@ def main():
                          "particle tiles stay VMEM-resident across the chunk; "
                          "ESS resample checks move to chunk boundaries. "
                          "1 = per-step kernel")
+    ap.add_argument("--sweeps-per-call", type=int, default=16,
+                    help="independent SMC sweeps scanned inside ONE jitted "
+                         "call — amortizes the fixed host dispatch+fetch "
+                         "latency (~24 ms over the remote TPU tunnel) so the "
+                         "metric reflects sustained device throughput")
     ap.add_argument("--watchdog", type=int, default=1200,
                     help="seconds before the parent assumes the TPU tunnel is "
                          "wedged and emits an error JSON line (0 = off)")
@@ -119,26 +124,36 @@ def main():
     obs = jnp.asarray(np.asarray(obs, np.float32))
 
     chunk = args.chunk if impl == "pallas" else 1
-    run = jax.jit(
-        build_smc_run(
-            model, n_particles, ess_threshold=0.5, resampling="systematic",
-            store_history=False, chunk=chunk,
-        )
+    run_one = build_smc_run(
+        model, n_particles, ess_threshold=0.5, resampling="systematic",
+        store_history=False, chunk=chunk,
     )
+    sweeps = max(1, args.sweeps_per_call) if not args.quick else 2
 
-    # compile + warm.  NB: synchronize by *reading the scalar to host* —
+    @jax.jit
+    def run(key, obs):
+        keys = jax.random.split(key, sweeps)
+
+        def body(_, k):
+            r = run_one(k, obs)
+            return None, (r.log_evidence, r.resampled)
+
+        _, (log_zs, resampled) = jax.lax.scan(body, None, keys)
+        return log_zs, resampled
+
+    # compile + warm.  NB: synchronize by *reading a scalar to host* —
     # on the axon remote backend block_until_ready() can return before the
     # execution drains, so a device->host fetch is the only reliable fence.
-    res = run(jax.random.key(0), obs)
-    float(res.log_evidence)
+    log_zs, resampled = run(jax.random.key(0), obs)
+    float(log_zs[-1])
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        res = run(jax.random.key(i + 1), obs)
-        float(res.log_evidence)
+        log_zs, resampled = run(jax.random.key(i + 1), obs)
+        float(log_zs[-1])
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / sweeps
 
     particle_steps_per_sec = n_particles * T / dt
     out = {
@@ -150,8 +165,10 @@ def main():
             "n_particles": n_particles,
             "T": T,
             "median_sweep_s": dt,
-            "log_evidence": float(res.log_evidence),
-            "resample_epochs": int(np.asarray(res.resampled).sum()),
+            "log_evidence": float(np.mean(np.asarray(log_zs))),
+            "log_evidence_std": float(np.std(np.asarray(log_zs))),
+            "resample_epochs": float(np.asarray(resampled).sum(axis=1).mean()),
+            "sweeps_per_call": sweeps,
             "device": str(jax.devices()[0]),
             "iters": iters,
             "impl": impl,

@@ -91,6 +91,11 @@ class StateSpaceModel:
     # Continuous-state version, resample stays on the XLA side:
     # (key, states, log_w, ys, n_valid) -> (s', w', ess')
     fused_chunk_batch: Optional[Callable] = None
+    # Fused initialization (prior states + t=0 reweight + streaming stats in
+    # one kernel): (key, n, y0) -> (states, log_w, ess, cat_w(K,), lme).
+    # Without it the chunked path pays an XLA-side counter-RNG init + two
+    # full-population reductions that dominate a fully fused sweep.
+    fused_init_batch: Optional[Callable] = None
     # Emission simulator (key, state, t) -> y, needed to train amortized
     # proposals on prior rollouts (compile-mode analogue for SSMs).
     obs_sample: Optional[Callable] = None
@@ -453,6 +458,26 @@ def build_smc_run(
 
     def run(key, observations):
         key, k_init, k_obs0 = jax.random.split(key, 3)
+        if chunk_exchange and model.fused_init_batch is not None:
+            # fully fused sweep: init + t=0 reweight + streaming stats in one
+            # kernel launch; all per-chunk stats come from in-VMEM partials
+            states0, log_w0, ess0, cat_w0, lme0 = model.fused_init_batch(
+                k_init, n_particles, observations[0]
+            )
+            ys_chunks, valid = _chunk_observations(observations, chunk)
+            carry0 = (
+                key, states0, log_w0, jnp.zeros(()), ess0, cat_w0, lme0
+            )
+            (key_f, states_f, log_w_f, log_z, _e, _cw, lme_f), ys = (
+                jax.lax.scan(step, carry0, (ys_chunks, valid))
+            )
+            log_z = log_z + lme_f
+            resampled = jnp.concatenate(
+                [jnp.zeros((1,), bool), ys[0]], axis=0
+            )
+            return SMCResult(
+                None, None, None, resampled, log_z, states_f, log_w_f
+            )
         if model.init_proposal_sample is not None:
             init_keys = jax.random.split(k_init, n_particles)
             states0 = jax.vmap(
@@ -486,10 +511,10 @@ def build_smc_run(
                 key, states0, log_w0, jnp.zeros(()), _ess(log_w0),
                 cat_w0, _log_mean_exp(log_w0),
             )
-            (key_f, states_f, log_w_f, log_z, *_), ys = jax.lax.scan(
-                step, carry0, (ys_chunks, valid)
+            (key_f, states_f, log_w_f, log_z, _e, _cw, lme_f), ys = (
+                jax.lax.scan(step, carry0, (ys_chunks, valid))
             )
-            log_z = log_z + _log_mean_exp(log_w_f)
+            log_z = log_z + lme_f
             resampled = jnp.concatenate(
                 [jnp.zeros((1,), bool), ys[0]], axis=0
             )

@@ -186,7 +186,7 @@ def calo_simulation(particles, n_bins=( _NBINX, _NBINY, _NBINZ),
             Poisson(jnp.maximum(mean_interactions, 1e-6)),
             addr=f"n_deposits[{p}]", control=False,
         )
-        n = jnp.minimum(n, _MAX_DEPOSITS)
+        n = jnp.minimum(n, max_deposits)
 
         shower_depth = 2.0 * 5.0 * widths[2]
         r_surface = _Z_BEGIN / jnp.cos(theta)
@@ -194,26 +194,26 @@ def calo_simulation(particles, n_bins=( _NBINX, _NBINY, _NBINZ),
         center = jnp.array([0.0, 0.0, 1.0]) * r_surface * r_factor
 
         eps = sample(
-            MultivariateNormalDiag(jnp.zeros((_MAX_DEPOSITS, 3)), 1.0),
+            MultivariateNormalDiag(jnp.zeros((max_deposits, 3)), 1.0),
             addr=f"deposit_eps[{p}]", control=False,
         )
         pts = center + widths * eps                       # (M, 3)
         pts = _rot_z(_rot_y(pts, theta), phi)
 
-        ix = jnp.floor((pts[:, 0] + _XY_LIM) / (2 * _XY_LIM) * _NBINX).astype(jnp.int32)
-        iy = jnp.floor((pts[:, 1] + _XY_LIM) / (2 * _XY_LIM) * _NBINY).astype(jnp.int32)
-        iz = jnp.floor((pts[:, 2] - _Z_BEGIN) / (_Z_END - _Z_BEGIN) * _NBINZ).astype(jnp.int32)
+        ix = jnp.floor((pts[:, 0] + _XY_LIM) / (2 * _XY_LIM) * nbx).astype(jnp.int32)
+        iy = jnp.floor((pts[:, 1] + _XY_LIM) / (2 * _XY_LIM) * nby).astype(jnp.int32)
+        iz = jnp.floor((pts[:, 2] - _Z_BEGIN) / (_Z_END - _Z_BEGIN) * nbz).astype(jnp.int32)
         mask = (
-            (jnp.arange(_MAX_DEPOSITS) < n)
-            & (ix >= 0) & (ix < _NBINX)
-            & (iy >= 0) & (iy < _NBINY)
-            & (iz >= 0) & (iz < _NBINZ)
+            (jnp.arange(max_deposits) < n)
+            & (ix >= 0) & (ix < nbx)
+            & (iy >= 0) & (iy < nby)
+            & (iz >= 0) & (iz < nbz)
             & visible
         )
         hist = hist.at[
-            jnp.clip(ix, 0, _NBINX - 1),
-            jnp.clip(iy, 0, _NBINY - 1),
-            jnp.clip(iz, 0, _NBINZ - 1),
+            jnp.clip(ix, 0, nbx - 1),
+            jnp.clip(iy, 0, nby - 1),
+            jnp.clip(iz, 0, nbz - 1),
         ].add(jnp.where(mask, _E_DEPOSIT, 0.0))
     return hist
 
@@ -236,12 +236,15 @@ def _synthetic_tau_decay():
     return channel, mother, particles
 
 
-def sherpa_calorimeter_wrapper(observed_histo):
+def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
+                               max_deposits: int = _MAX_DEPOSITS):
     """Full SHERPA-model structure (``sherpa.cpp:49-68``): simulate the decay,
     run the calorimeter, **ABC-observe** the voxel histogram (dirac sampler +
-    MVN(calo, sqrt-variance) logpdf), predict channel + mother momentum."""
+    MVN(calo, sqrt-variance) logpdf), predict channel + mother momentum.
+    ``n_bins``/``max_deposits`` scale the volume (default: the reference's
+    35x35x20); tests use a reduced-but-3D volume."""
     channel, mother, particles = _synthetic_tau_decay()
-    calo = calo_simulation(particles)
+    calo = calo_simulation(particles, n_bins=n_bins, max_deposits=max_deposits)
     flat = calo.ravel()
     approx = MultivariateNormalDiag(flat, jnp.sqrt(jnp.maximum(flat, 1e-2)))
     abc = make_abc(

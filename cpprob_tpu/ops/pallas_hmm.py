@@ -28,6 +28,7 @@ __all__ = [
     "pallas_hmm_fused_step",
     "pallas_hmm_fused_step_exchange",
     "pallas_hmm_fused_chunk",
+    "pallas_hmm_fused_init",
     "make_pallas_hmm_ssm",
     "pallas_lg_fused_step",
     "pallas_lg_fused_chunk",
@@ -255,6 +256,22 @@ def _make_chunk_kernel(n_steps: int, hw_prng: bool):
     sums) partials for the next boundary's ESS check + category weights.
     """
 
+    # quadratic fits of the per-state transition-CDF columns and the emission
+    # mean over s in {0,1,2}: c(s) = p0 + p1*s + p2*s^2 replaces the 2-way
+    # select chains with FMAs, and means (-1,0,1) are simply s' - 1 — the
+    # in-VMEM loop is compute-bound, so per-step VPU ops are the budget
+    c = _TRANS_CDF
+    c0p = (
+        float(c[0, 0]),
+        float(2 * c[1, 0] - 1.5 * c[0, 0] - 0.5 * c[2, 0]),
+        float(0.5 * (c[0, 0] + c[2, 0]) - c[1, 0]),
+    )
+    c1p = (
+        float(c[0, 1]),
+        float(2 * c[1, 1] - 1.5 * c[0, 1] - 0.5 * c[2, 1]),
+        float(0.5 * (c[0, 1] + c[2, 1]) - c[1, 1]),
+    )
+
     def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
                out_s_ref, out_w_ref, part_ref):
         i = pl.program_id(0)
@@ -267,34 +284,39 @@ def _make_chunk_kernel(n_steps: int, hw_prng: bool):
         rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
         j = (i * block_r + rowid) * _LANES + lane
-        synth = (j >= ctrl_ref[1]).astype(jnp.int32) + (
+        synth = (j >= ctrl_ref[1]).astype(jnp.float32) + (
             j >= ctrl_ref[2]
-        ).astype(jnp.int32)
-        s = jnp.where(flag, synth, states_ref[:])
+        ).astype(jnp.float32)
+        s = jnp.where(flag, synth, states_ref[:].astype(jnp.float32))
         w = jnp.where(flag, 0.0, logw_ref[:])
 
+        bits32 = None
         for t in range(n_steps):  # static unroll, particles stay in VMEM
             if hw_prng:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
-                )
-                u = _uniform_from_bits(bits)
+                # one 32-bit hardware draw feeds TWO steps (16-bit uniforms:
+                # quantization 2^-16, far below MC error; RNG generation is
+                # half the per-step cost at these arithmetic intensities)
+                if t % 2 == 0:
+                    bits32 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                    )
+                    half = jax.lax.bitwise_and(bits32, jnp.int32(0xFFFF))
+                else:
+                    half = jax.lax.shift_right_logical(bits32, 16)
+                u = half.astype(jnp.float32) * (1.0 / 65536.0)
             else:
                 u = jnp.zeros(states_ref.shape, jnp.float32)
-            c0 = _select3(s, _TRANS_CDF[0, 0], _TRANS_CDF[1, 0],
-                          _TRANS_CDF[2, 0])
-            c1 = _select3(s, _TRANS_CDF[0, 1], _TRANS_CDF[1, 1],
-                          _TRANS_CDF[2, 1])
-            ns = (u >= c0).astype(jnp.int32) + (u >= c1).astype(jnp.int32)
+            c0 = c0p[0] + s * (c0p[1] + s * c0p[2])
+            c1 = c1p[0] + s * (c1p[1] + s * c1p[2])
+            ns = (u >= c0).astype(jnp.float32) + (u >= c1).astype(jnp.float32)
             y = ys_ref[t]
-            mean = _select3(ns, _MEANS[0], _MEANS[1], _MEANS[2])
-            d = y - mean
+            d = (y + 1.0) - ns          # emission mean is ns - 1
             nw = w + (-0.5 * d * d - _HALF_LOG_2PI)
             valid = t < n_valid
             s = jnp.where(valid, ns, s)
             w = jnp.where(valid, nw, w)
 
-        out_s_ref[:] = s
+        out_s_ref[:] = s.astype(jnp.int32)
         out_w_ref[:] = w
 
         m = jnp.max(w)
@@ -303,9 +325,9 @@ def _make_chunk_kernel(n_steps: int, hw_prng: bool):
             m,
             jnp.sum(e),
             jnp.sum(e * e),
-            jnp.sum(jnp.where(s == 0, e, 0.0)),
-            jnp.sum(jnp.where(s == 1, e, 0.0)),
-            jnp.sum(jnp.where(s == 2, e, 0.0)),
+            jnp.sum(jnp.where(s == 0.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 1.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 2.0, e, 0.0)),
         )
         plane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
         prow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
@@ -512,6 +534,87 @@ def pallas_lg_fused_step(
     return out_s.reshape(n), out_w.reshape(n)
 
 
+def _make_init_kernel(hw_prng: bool):
+    """Fused SMC initialization: uniform{0,1,2} states from the hardware
+    PRNG + the t=0 emission reweight + streaming partials — replaces the
+    XLA-side ``jax.random.categorical`` init whose counter-based RNG and
+    full-population reductions dominate a fully fused sweep."""
+
+    def kernel(seed_ref, y_ref, out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        shape = out_w_ref.shape
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            half = jax.lax.bitwise_and(bits, jnp.int32(0xFFFF))
+            u = half.astype(jnp.float32) * (1.0 / 65536.0)
+        else:
+            u = jnp.zeros(shape, jnp.float32)
+        s = jnp.minimum(jnp.floor(u * 3.0), 2.0)
+        y = y_ref[0]
+        d = (y + 1.0) - s
+        w = -0.5 * d * d - _HALF_LOG_2PI
+        out_s_ref[:] = s.astype(jnp.int32)
+        out_w_ref[:] = w
+
+        m = jnp.max(w)
+        e = jnp.exp(w - m)
+        vals = (
+            m,
+            jnp.sum(e),
+            jnp.sum(e * e),
+            jnp.sum(jnp.where(s == 0.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 1.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 2.0, e, 0.0)),
+        )
+        plane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        row = jnp.zeros((8, _LANES), jnp.float32)
+        for idx, v in enumerate(vals):
+            row = jnp.where((prow == 0) & (plane == idx), v, row)
+        part_ref[:, :] = row
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "block_r", "interpret"))
+def pallas_hmm_fused_init(
+    seed, y0, n: int, block_r: int = _BLOCK_R, interpret: bool = False
+):
+    """Fused init: uniform states + t=0 reweight.  Returns
+    (states, log_w, ess, cat_w(3,), lme)."""
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    n_blocks = r // block_r
+    out_s, out_w, partials = pl.pallas_call(
+        _make_init_kernel(hw_prng=not interpret),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(y0, jnp.float32).reshape(1),
+    )
+    ess, cat_w, lme = stats_from_partials(partials, n)
+    return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
+
+
 def _make_lg_chunk_kernel(n_steps: int, hw_prng: bool):
     """Multi-step fused linear-Gaussian kernel: ``n_steps`` random-walk
     propagate + reweight updates on a VMEM-resident float tile (one HBM
@@ -678,6 +781,11 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
             n_steps=ys.shape[0], block_r=block_r,
         )
 
+    def fused_init(key, n, y0):
+        return pallas_hmm_fused_init(
+            _key_to_seed(key), y0, n=n, block_r=block_r
+        )
+
     import dataclasses
 
     return dataclasses.replace(
@@ -686,4 +794,5 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
         fused_step_ess_batch=fused_ess,
         fused_step_exchange_batch=fused_exchange,
         fused_chunk_exchange_batch=fused_chunk,
+        fused_init_batch=fused_init,
     )

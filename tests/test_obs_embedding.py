@@ -1,0 +1,148 @@
+"""Structured observation embeddings (reference infcomp/nn/observation.py):
+per-observe-site embedders (CNN3D for volumetric sites, MLP otherwise)
+composed by an LSTM over the site sequence ('site-lstm'), and the end-to-end
+SHERPA-scale guided test: CSIS with a CNN3D observation embedding on the 3-D
+calorimeter recovers the decay channel better than prior SIS.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cpprob_tpu as ct
+from cpprob_tpu.core import handlers
+from cpprob_tpu.distributions import MultivariateNormalDiag, Normal
+from cpprob_tpu.inference.csis import CSIS, embed_observation
+from cpprob_tpu.models.sherpa import sherpa_calorimeter_wrapper
+
+BINS = (7, 7, 5)          # reduced-but-3D calorimeter volume for CI
+MAXDEP = 256
+VOX = BINS[0] * BINS[1] * BINS[2]
+
+
+def calo_model(observed):
+    return sherpa_calorimeter_wrapper(
+        observed, n_bins=BINS, max_deposits=MAXDEP
+    )
+
+
+def _observed_for_channel(ch: int):
+    """Simulate the calorimeter for a known channel (Substitute pins the
+    channel-selecting uniform)."""
+    tr = handlers.TraceHandler()
+    with handlers.Seed(jax.random.key(7)), handlers.Substitute(
+        {"channel_u": jnp.float32(ch + 0.5)}
+    ), handlers.SimulateObserves(), tr:
+        calo_model(jnp.zeros(VOX))
+    return tr.trace["calo"]["value"]
+
+
+def _channel_posterior(res):
+    ch = np.asarray(res.predicts["Decay Channel"])
+    w = np.asarray(res.normalized_weights)
+    return np.array([(w * (ch == c)).sum() for c in range(4)])
+
+
+class TestSiteLSTM:
+    def test_mixed_shapes_embed_and_train(self):
+        """Model with a volumetric observe + two scalar observes: 'site-lstm'
+        builds a CNN3D embedder for the volume, MLPs for scalars, LSTM over
+        the 3-site sequence; training runs and improves."""
+
+        def model(vol_obs, y1, y2):
+            mu = ct.sample(Normal(0.0, 1.0), addr="mu")
+            base = jnp.zeros((4, 4, 3)) + mu
+            ct.observe(
+                MultivariateNormalDiag(base.ravel(), 0.5),
+                jnp.ravel(jnp.asarray(vol_obs, jnp.float32)).reshape(48),
+                addr="vol",
+            )
+            ct.observe(Normal(mu, 1.0), y1, addr="y1")
+            ct.observe(Normal(mu, 1.0), y2, addr="y2")
+            ct.predict(mu, "Mu")
+
+        # NB: observe shape (48,) is flat here; reshape the volumetric site
+        # in the model's own terms — shapes recorded from the trace
+        eng = CSIS(
+            model, (jnp.zeros(48), 0.0, 0.0),
+            embedding_dim=32, obs_embedding="site-lstm",
+        )
+        assert eng.structure.observe_shapes == ((48,), (), ())
+        params, losses = eng.compile(
+            jax.random.key(0), steps=150, batch_size=64, unroll=10
+        )
+        assert float(losses[-1]) < float(losses[0])
+        res = eng.infer(params, (jnp.full(48, 1.2), 1.2, 1.2), 500,
+                        jax.random.key(1))
+        assert np.isfinite(float(res.log_evidence))
+
+    def test_volumetric_site_uses_conv3d(self):
+        """A 3-D-shaped observe site gets a conv3d embedder in 'site-lstm'."""
+
+        def model(vol):
+            mu = ct.sample(Normal(0.0, 1.0), addr="mu")
+            ct.observe(
+                MultivariateNormalDiag(
+                    (jnp.zeros(BINS) + mu).ravel().reshape(BINS), 1.0
+                ),
+                jnp.asarray(vol, jnp.float32),
+                addr="vol",
+            )
+            ct.predict(mu, "Mu")
+
+        eng = CSIS(
+            model, (jnp.zeros(BINS),), embedding_dim=16,
+            obs_embedding="site-lstm",
+        )
+        assert eng.structure.observe_shapes == (BINS,)
+        params = eng.init(jax.random.key(0))
+        assert "conv3d" in params["obs_net"]["sites"]["vol"]
+        emb = embed_observation(
+            params, jnp.zeros((3, VOX)), "site-lstm",
+            structure=eng.structure,
+        )
+        assert emb.shape == (3, 16)
+
+
+class TestSherpaCNN3DGuided:
+    @pytest.fixture(scope="class")
+    def engine(self):
+        eng = CSIS(
+            calo_model, (jnp.zeros(VOX),),
+            embedding_dim=32, obs_embedding="cnn3d", obs_shape=BINS,
+        )
+        params, losses = eng.compile(
+            jax.random.key(0), steps=250, batch_size=64, unroll=10,
+            learning_rate=2e-3,
+        )
+        return eng, params, losses
+
+    def test_training_improves(self, engine):
+        _, _, losses = engine
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-20:].mean() < losses[:20].mean()
+
+    def test_guided_recovers_channel_better_than_prior(self, engine):
+        """The thesis SHERPA capability: amortized CNN3D proposal identifies
+        the decay channel from the calorimeter volume; guided SIS
+        concentrates on it with far higher ESS than prior SIS."""
+        eng, params, _ = engine
+        n = 512
+        wins_guided = 0
+        ess_ratio = []
+        for ch in [0, 1, 2, 3]:
+            observed = _observed_for_channel(ch)
+            guided = eng.infer(params, (observed,), n, jax.random.key(ch))
+            prior = ct.sis(calo_model, (observed,), n, jax.random.key(ch))
+            pg = _channel_posterior(guided)
+            pp = _channel_posterior(prior)
+            if int(pg.argmax()) == ch:
+                wins_guided += 1
+            ess_ratio.append(float(guided.ess) / max(float(prior.ess), 1e-9))
+            # guided posterior mass on the true channel at least matches prior
+            assert pg[ch] > 0.5 * pp[ch] - 0.05, (ch, pg, pp)
+        assert wins_guided >= 3, wins_guided
+        # amortization pays: much higher effective sample size on average
+        assert np.mean(ess_ratio) > 2.0, ess_ratio
