@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The TPU tunnel's sitecustomize imports jax with JAX_PLATFORMS=axon before
+# this script runs, so the env var alone can't retarget CPU — the config
+# update below wins as long as no backend is initialized yet (same trick as
+# tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -31,6 +38,12 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--scheme", default="collective",
                     choices=["collective", "island"])
+    ap.add_argument("--fixed-total", type=int, default=0, metavar="N",
+                    help="instead of weak scaling, hold the TOTAL particle "
+                    "count at N while growing the mesh — on a virtual CPU "
+                    "mesh (shared host cores) this isolates sharding + "
+                    "collective overhead: ratio time(k)/time(1) ~ 1 means "
+                    "the sharded path adds no redundant work")
     args = ap.parse_args()
 
     from cpprob_tpu.models import HMM_MEANS, HMM_TRANS, hmm_ssm
@@ -50,7 +63,7 @@ def main():
     results = []
     for k in sizes:
         mesh = particle_mesh(devices=devices[:k])
-        n = args.per_device * k
+        n = args.fixed_total if args.fixed_total else args.per_device * k
 
         def run(key):
             return smc_sharded(
@@ -72,7 +85,16 @@ def main():
                         "log_evidence": float(r.log_evidence)})
         print(json.dumps(results[-1]))
 
-    if len(results) > 1:
+    if len(results) > 1 and args.fixed_total:
+        base = results[0]["sweep_s"]
+        for r in results[1:]:
+            print(json.dumps({
+                "metric": "sharding_overhead_ratio",
+                "devices": r["devices"],
+                "value": r["sweep_s"] / base,
+                "scheme": args.scheme,
+            }))
+    elif len(results) > 1:
         base = results[0]["particle_steps_per_s"]
         for r in results[1:]:
             eff = r["particle_steps_per_s"] / (base * r["devices"])

@@ -62,11 +62,18 @@ class Normal(Distribution):
     def cdf(self, x):
         loc, scale = promote_to_result_dtype(self.loc, self.scale)
         x = jnp.asarray(x, loc.dtype)
-        return jsp_special.ndtr((x - loc) / scale)
+        # sigma == 0 => Dirac: step function at loc (0 below, 1 at/above)
+        safe_scale = jnp.where(scale == 0, 1.0, scale)
+        c = jsp_special.ndtr((x - loc) / safe_scale)
+        step = jnp.where(x >= loc, jnp.ones_like(c), jnp.zeros_like(c))
+        return jnp.where(scale == 0, step, c)
 
     def icdf(self, u):
         loc, scale = promote_to_result_dtype(self.loc, self.scale)
-        return loc + scale * jsp_special.ndtri(jnp.asarray(u, loc.dtype))
+        # sigma == 0 => all quantiles collapse to loc (and 0*ndtri(0)=nan is
+        # avoided explicitly)
+        q = jsp_special.ndtri(jnp.asarray(u, loc.dtype))
+        return jnp.where(scale == 0, loc, loc + scale * q)
 
     @property
     def mean(self):
@@ -99,13 +106,19 @@ class Uniform(Distribution):
         low, high = promote_to_result_dtype(self.low, self.high)
         x = jnp.asarray(x, low.dtype)
         inside = (x >= low) & (x <= high)
-        lp = -jnp.log(high - low)
+        # degenerate low == high => Dirac at low (log_prob 0 there, -inf off)
+        width = high - low
+        lp = jnp.where(width == 0, 0.0, -jnp.log(jnp.where(width == 0, 1.0, width)))
         return jnp.where(inside, lp, -jnp.inf)
 
     def cdf(self, x):
         low, high = promote_to_result_dtype(self.low, self.high)
         x = jnp.asarray(x, low.dtype)
-        return jnp.clip((x - low) / (high - low), 0.0, 1.0)
+        width = high - low
+        safe = jnp.where(width == 0, 1.0, width)
+        c = jnp.clip((x - low) / safe, 0.0, 1.0)
+        step = jnp.where(x >= low, jnp.ones_like(c), jnp.zeros_like(c))
+        return jnp.where(width == 0, step, c)
 
     def icdf(self, u):
         low, high = promote_to_result_dtype(self.low, self.high)
