@@ -30,11 +30,14 @@ def main():
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
     ap.add_argument("--block-r", type=int, default=512,
                     help="Pallas block rows (particles per block = 128*block_r)")
-    ap.add_argument("--chunk", type=int, default=5,
+    ap.add_argument("--chunk", type=int, default=8,
                     help="timesteps fused per kernel launch (pallas impl): "
                          "particle tiles stay VMEM-resident across the chunk; "
                          "ESS resample checks move to chunk boundaries. "
-                         "1 = per-step kernel")
+                         "1 = per-step kernel.  8 keeps ESS-triggered "
+                         "resampling live at T=16 (91G steps/s measured, "
+                         "logZ std unchanged); 16 fuses the whole sweep "
+                         "(143G) but then no interior ESS check can fire")
     ap.add_argument("--sweeps-per-call", type=int, default=16,
                     help="independent SMC sweeps scanned inside ONE jitted "
                          "call — amortizes the fixed host dispatch+fetch "
