@@ -131,7 +131,7 @@ _NBINZ = 20
 _Z_BEGIN = 4.0
 _Z_END = 15.0
 _XY_LIM = 3.0
-_E_DEPOSIT = 0.01       # min_energy_deposit()
+_E_DEPOSIT = 0.005      # min_energy_deposit() in GeV (calorimeter.cpp:17)
 _MAX_DEPOSITS = 4096    # static cap on the Poisson deposit count
 
 
@@ -220,16 +220,24 @@ def calo_simulation(particles, n_bins=( _NBINX, _NBINY, _NBINZ),
 
 def _synthetic_tau_decay():
     """Channel-conditioned synthetic event source standing in for the external
-    SHERPA generator (the reference's out-of-process HEP package)."""
+    SHERPA generator (the reference's out-of-process HEP package).
+
+    The calorimeter face sits on the detector z-axis (z in [4, 15]); the
+    mother momentum of these events points along +x, so polar angles are
+    measured **relative to the mother's flight axis** (theta = angle from
+    +x, phi around it) — a fixed lab rotation that aims the decay products
+    into the detector.  Showers are EM (pdg 11) so the widest-angle channel
+    still deposits inside the (+-3)^2 transverse window."""
     select_ran = sample(Uniform(0.0, 4.0), addr="channel_u")
     channel = jnp.floor(select_ran).astype(jnp.int32)
     moms = jnp.asarray(CHANNEL_MOMENTA)
     active = (jnp.arange(4) <= channel)[:, None].astype(jnp.float32)
     px, py, pz, e = moms[:, 0], moms[:, 1], moms[:, 2], moms[:, 3]
-    theta = jnp.arccos(pz / jnp.sqrt(px**2 + py**2 + pz**2))
-    phi = jnp.arctan2(py, px)
+    # polar angle from the mother axis (+x); azimuth in the (y, z) plane
+    theta = jnp.arccos(px / jnp.sqrt(px**2 + py**2 + pz**2))
+    phi = jnp.arctan2(pz, py)
     particles = jnp.stack(
-        [px, py, pz, e, theta, phi, jnp.full((4,), 211.0),
+        [px, py, pz, e, theta, phi, jnp.full((4,), 11.0),
          jnp.ones((4,))], axis=-1,
     ) * active  # inactive rows zeroed (calo_visible=0 -> skipped)
     mother = jnp.sum(moms[:, :3] * active, axis=0)
@@ -237,16 +245,36 @@ def _synthetic_tau_decay():
 
 
 def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
-                               max_deposits: int = _MAX_DEPOSITS):
+                               max_deposits: int = _MAX_DEPOSITS,
+                               abc_variance: str = "poisson"):
     """Full SHERPA-model structure (``sherpa.cpp:49-68``): simulate the decay,
     run the calorimeter, **ABC-observe** the voxel histogram (dirac sampler +
-    MVN(calo, sqrt-variance) logpdf), predict channel + mother momentum.
+    MVN approximate logpdf), predict channel + mother momentum.
     ``n_bins``/``max_deposits`` scale the volume (default: the reference's
-    35x35x20); tests use a reduced-but-3D volume."""
+    35x35x20); tests use a reduced-but-3D volume.
+
+    ``abc_variance`` picks the per-voxel tolerance of the approximate dirac:
+
+    * ``"poisson"`` (default) — the *exact* counting variance of the
+      quantized simulator: each voxel is ``n`` deposits of ``_E_DEPOSIT``
+      GeV, so Var = ``_E_DEPOSIT * value`` (floor one deposit).  Needed for
+      the synthetic source, whose sub-GeV voxel values sit far below the
+      regime the reference tolerance was calibrated for.
+    * ``"reference"`` — strict parity with ``sherpa.cpp:61``
+      (``multivariate_normal(calo_histo, calo_histo)``: Var = value, the
+      count-units Poisson formula applied to energy units).  Informative
+      only when voxel values are O(1) GeV, i.e. real 45-GeV LEP taus.
+    """
     channel, mother, particles = _synthetic_tau_decay()
     calo = calo_simulation(particles, n_bins=n_bins, max_deposits=max_deposits)
     flat = calo.ravel()
-    approx = MultivariateNormalDiag(flat, jnp.sqrt(jnp.maximum(flat, 1e-2)))
+    if abc_variance == "poisson":
+        std = jnp.sqrt(jnp.maximum(flat * _E_DEPOSIT, _E_DEPOSIT**2))
+    elif abc_variance == "reference":
+        std = jnp.sqrt(jnp.maximum(flat, 1e-2))
+    else:
+        raise ValueError(f"unknown abc_variance {abc_variance!r}")
+    approx = MultivariateNormalDiag(flat, std)
     abc = make_abc(
         sampler=lambda key: flat,
         logpdf_fn=lambda x: approx.log_prob(jnp.ravel(jnp.asarray(x, jnp.float32))),
