@@ -28,6 +28,7 @@ examples:
 	$(CPU_ENV) $(PY) examples/thesis_hmm_comparison.py --quick
 	$(CPU_ENV) $(PY) examples/calo_variance.py -n 4
 	$(CPU_ENV) $(PY) examples/sherpa_gen.py -n 2 --out /tmp/sherpa_smoke
+	$(CPU_ENV) $(PY) examples/sherpa_fullscale.py --quick
 
 bench-quick:
 	$(PY) bench.py --quick
