@@ -18,10 +18,14 @@ from .resampling import (
     ring_systematic_resample,
     sharded_systematic_ancestors,
 )
+from .distributed import initialize_multihost, is_multihost, virtual_devices
 from .sis import sis_sharded
 from .smc import ShardedSMCResult, smc_sharded
 
 __all__ = [
+    "initialize_multihost",
+    "is_multihost",
+    "virtual_devices",
     "PARTICLE_AXIS",
     "particle_mesh",
     "particle_sharding",

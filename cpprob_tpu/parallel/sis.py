@@ -45,14 +45,15 @@ def sis_sharded(
     p_shard = particle_sharding(mesh)
     particle = make_particle_fn(model, args, proposal_messenger=proposal_messenger)
 
-    @partial(
-        jax.jit,
-        out_shardings=None,
-    )
-    def run(keys):
+    # The key fans out INSIDE jit from a replicated scalar: no host-side
+    # device_put onto the (possibly non-addressable, multi-process) global
+    # sharding is ever needed, so the same code runs single-process on a
+    # virtual mesh and SPMD across hosts under jax.distributed.
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, n_particles)
+        keys = jax.lax.with_sharding_constraint(keys, p_shard)
         return jax.vmap(particle)(keys)
 
-    keys = jax.random.split(key, n_particles)
-    keys = jax.device_put(keys, p_shard)
-    log_w, predicts = run(keys)
+    log_w, predicts = run(key)
     return ImportanceResult(log_w, predicts)

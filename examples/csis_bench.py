@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from contextlib import nullcontext as _nullcontext
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -186,6 +187,53 @@ def main():
               f"{row['sis_kl']:>10.4f} {row['csis_kl']:>10.4f} "
               f"{row['l2_ratio']:>9.1f} {row['kl_ratio']:>9.1f}")
 
+    # --- guided-inference throughput -----------------------------------------
+    # the serving-side number: amortized (guided) importance sampling,
+    # particles/s steady-state on the default device.  The tied-scan graph
+    # trips the remote TPU compiler (see robust() above), so this uses the
+    # unrolled per-site engine — the same graph the reference's inference
+    # server loop executes one-trace-at-a-time over ZMQ (inference.py).
+    from cpprob_tpu.models import hmm as hmm_unrolled
+
+    eng_u = CSIS(hmm_unrolled, (jnp.zeros(T),))
+    params_u, _ = eng_u.compile(
+        jax.random.key(args.seed + 5), steps=200, batch_size=args.batch_size
+    )
+    def timed_infer(n_inf):
+        r = eng_u.infer(params_u, (obs,), n_inf, jax.random.key(99))
+        jax.block_until_ready(r.log_weights)
+        return r
+
+    # size backoff: big vmapped guided graphs can also trip the remote TPU
+    # fusion-pass crash; fall back to a smaller batch, then to CPU
+    guided_infer = None
+    attempts = [(65536, None), (8192, None), (8192, "cpu")]
+    for n_inf, dev in attempts:
+        try:
+            ctx = (jax.default_device(jax.devices("cpu")[0])
+                   if dev == "cpu" else _nullcontext())
+            with ctx:
+                timed_infer(n_inf)  # compile + warm
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    timed_infer(n_inf)
+                    ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            guided_infer = {
+                "n_particles": n_inf,
+                "median_s": dt,
+                "guided_traces_per_sec": n_inf / dt,
+                "device": dev or str(jax.devices()[0]),
+            }
+            print(f"guided inference: {n_inf} particles in {dt*1e3:.1f} ms = "
+                  f"{n_inf/dt:,.0f} guided traces/s ({guided_infer['device']})",
+                  file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"guided-infer bench (n={n_inf}, dev={dev}) failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+
     out = {
         "experiment": "thesis_hmm_csis_vs_sis",
         "reference": "doc/compiled_inference.pdf ch. 6.3 figs. 6.6-6.7 "
@@ -205,6 +253,7 @@ def main():
         },
         "accuracy": rows,
         "sweep_device": sweep_device,
+        "guided_infer": guided_infer,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
