@@ -79,6 +79,7 @@ class DynamicProposalMessenger(handlers.Messenger):
         self.params = params
         self.spec_table = spec_table
         self.obs_emb = obs_emb
+        self.obs_gate = nn.lstm_obs_gate(params["lstm"], obs_emb)
         E = params["lstm"][0]["wh"].shape[0]
         self.state = nn.lstm_zero_state(params["lstm"])
         self.prev_emb = jnp.zeros((E,))
@@ -95,8 +96,9 @@ class DynamicProposalMessenger(handlers.Messenger):
         spec = self.spec_table.get(msg["name"])
         if spec is None or spec.pkey not in self.params["heads"]:
             return  # prior fallback
-        x_in = jnp.concatenate([self.prev_emb, self.obs_emb], axis=-1)
-        h, self.state = nn.lstm_step(self.params["lstm"], x_in, self.state)
+        h, self.state = nn.lstm_step_split(
+            self.params["lstm"], self.prev_emb, self.obs_gate, self.state
+        )
         raw = nn.mlp_apply(self.params["heads"][spec.pkey], h)
         proposal = make_proposal_dist(spec, raw)
         msg["proposal_dist"] = proposal

@@ -25,7 +25,9 @@ __all__ = [
     "embedding_init",
     "embedding_lookup",
     "lstm_init",
+    "lstm_obs_gate",
     "lstm_step",
+    "lstm_step_split",
     "lstm_zero_state",
     "lstm_embed_sequence",
     "conv3d_init",
@@ -153,20 +155,60 @@ def conv3d_apply(params, vol):
     return x.reshape(batch_shape + (x.shape[-1],))
 
 
+def _lstm_cell(layer_params, x_gates, h, c):
+    gates = x_gates + h @ layer_params["wh"] + layer_params["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f + 1.0)  # forget-gate bias 1
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
 def lstm_step(params, x, state):
     """One step of the stacked LSTM.  ``x``: (..., input_dim); ``state``:
     list of (h, c) per layer.  Returns (top_h, new_state)."""
     new_state = []
     inp = x
     for layer_params, (h, c) in zip(params, state):
-        gates = inp @ layer_params["wx"] + h @ layer_params["wh"] + layer_params["b"]
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f + 1.0)  # forget-gate bias 1
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(layer_params, inp @ layer_params["wx"], h, c)
+        new_state.append((h_new, c_new))
+        inp = h_new
+    return inp, new_state
+
+
+def lstm_obs_gate(params, obs_emb):
+    """Precompute the observation-embedding half of the layer-0 input gates.
+
+    The proposal LSTM's layer-0 input is ``concat([value_emb, obs_emb])``
+    (reference ``infcomp/nn/nn.py:32-38``); splitting the input dot as
+    ``value_emb @ wx[:E] + obs_emb @ wx[E:]`` is exact (same contraction,
+    reassociated) and lets this half be computed ONCE per trace instead of
+    once per site — and, when ``obs_emb`` is fixed for a whole inference
+    call, XLA folds it to a constant.
+
+    It is also a required workaround on current TPU toolchains: a
+    ``concat(batched, broadcast-constant)`` feeding a dot inside a vmapped
+    guided graph crashes the TPU compiler's priority-fusion cost model
+    (``TpuPriorityFusionQueue::NormalizedComputationCost`` SIGILL; minimal
+    repro in PARITY.md "TPU toolchain notes").
+    """
+    value_dim = params[0]["wx"].shape[0] - obs_emb.shape[-1]
+    return obs_emb @ params[0]["wx"][value_dim:]
+
+
+def lstm_step_split(params, x_val, obs_gate, state):
+    """``lstm_step(params, concat([x_val, obs_emb]), state)`` with the
+    observation contribution precomputed by :func:`lstm_obs_gate`."""
+    lp0 = params[0]
+    x_gates = x_val @ lp0["wx"][: x_val.shape[-1]] + obs_gate
+    h_new, c_new = _lstm_cell(lp0, x_gates, *state[0])
+    new_state = [(h_new, c_new)]
+    inp = h_new
+    for layer_params, (h, c) in zip(params[1:], state[1:]):
+        h_new, c_new = _lstm_cell(layer_params, inp @ layer_params["wx"], h, c)
         new_state.append((h_new, c_new))
         inp = h_new
     return inp, new_state

@@ -315,8 +315,13 @@ def sis_streaming_checkpointed(
                     f"batch_size={int(ck['batch_size'])}"
                 )
             done = int(ck["chunks_done"])
+            # pre-compensation checkpoints (no '#c' keys) resume with zero
+            # compensation terms — only the O(eps) correction is lost
             lc = lambda stem: CompSum(
-                jnp.asarray(ck[stem]), jnp.asarray(ck[stem + "#c"])
+                jnp.asarray(ck[stem]),
+                jnp.asarray(ck[stem + "#c"])
+                if stem + "#c" in ck.files
+                else jnp.zeros_like(jnp.asarray(ck[stem])),
             )
             carry = (
                 jnp.asarray(ck["m"]), lc("s0"), lc("s0_sq"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -146,10 +146,49 @@ def dump_posterior(path: str, result) -> None:
                 f.write(f"( [ {' '.join(entries)} ] {float(log_w[p])!r} )\n")
 
 
-def load_posterior(path: str):
+def _parse_posterior_file_native(fp: str, as_int: bool):
+    """Parse one ``.real``/``.int`` file with the native C++ parser
+    (``native/src/posterior_parse.cpp``, ~50x the Python s-expression
+    parser on large dumps).  Returns (log_ws, offsets, ids, values) numpy
+    arrays, or None when the native library is unavailable."""
+    from .tracefile import _load_native
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    h = lib.cpprob_posterior_parse(fp.encode())
+    if not h:
+        return None
+    try:
+        h = ctypes.c_void_p(h)
+        n = lib.cpprob_posterior_n_particles(h)
+        ne = lib.cpprob_posterior_n_entries(h)
+        log_ws = np.ctypeslib.as_array(
+            lib.cpprob_posterior_log_weights(h), shape=(n,)
+        ).copy()
+        offsets = np.ctypeslib.as_array(
+            lib.cpprob_posterior_offsets(h), shape=(n + 1,)
+        ).copy()
+        ids = np.ctypeslib.as_array(lib.cpprob_posterior_ids(h), shape=(ne,)).copy()
+        values = np.ctypeslib.as_array(
+            lib.cpprob_posterior_values(h), shape=(ne,)
+        ).copy()
+    finally:
+        lib.cpprob_posterior_free(h)
+    if as_int:
+        values = values.astype(np.int64)
+    return log_ws, offsets, ids, values
+
+
+def load_posterior(path: str, native: Optional[bool] = None):
     """Read files written by :func:`dump_posterior` (or by the C++ reference)
     into {name: (values list per particle)} + log_weights — the parsing half
-    of ``StatsPrinter`` (``stats_printer.hpp:88-120``)."""
+    of ``StatsPrinter`` (``stats_printer.hpp:88-120``).
+
+    ``native=None`` auto-detects the C++ fast parser and falls back to the
+    Python s-expression parser; ``True``/``False`` force one path."""
     with open(path + ".ids") as f:
         names = [line.strip() for line in f if line.strip()]
     out = {n: [] for n in names}
@@ -158,6 +197,44 @@ def load_posterior(path: str):
         fp = f"{path}.{kind}"
         if not os.path.exists(fp):
             continue
+        parsed = (
+            _parse_posterior_file_native(fp, as_int=(kind == "int"))
+            if native in (None, True)
+            else None
+        )
+        if parsed is not None:
+            lws, offsets, ids, values = parsed
+            log_ws.extend(lws.tolist())
+            n = len(lws)
+            k = len(ids) // n if n else 0
+            if n and k * n == len(ids) and np.array_equal(
+                ids.reshape(n, k), np.broadcast_to(ids[:k], (n, k))
+            ):
+                # regular structure (same id pattern every particle): assemble
+                # columnarly — no per-particle Python loop
+                vals2d = values.reshape(n, k)
+                for idx in np.unique(ids[:k]):
+                    cols = vals2d[:, ids[:k] == idx]
+                    out[names[idx]].extend(
+                        cols[:, 0] if cols.shape[1] == 1 else list(cols)
+                    )
+            else:
+                for p in range(n):
+                    lo, hi = offsets[p], offsets[p + 1]
+                    per_name = {}
+                    for idx, value in zip(
+                        ids[lo:hi].tolist(), values[lo:hi].tolist()
+                    ):
+                        per_name.setdefault(idx, []).append(value)
+                    for idx, vals in per_name.items():
+                        out[names[idx]].append(
+                            vals[0] if len(vals) == 1 else vals
+                        )
+            continue
+        if native is True:
+            raise RuntimeError(
+                f"native posterior parser unavailable for {fp!r}"
+            )
         with open(fp) as f:
             for line in f:
                 line = line.strip()

@@ -72,6 +72,19 @@ def _load_native():
         lib.cpprob_loader_close.argtypes = [ctypes.c_void_p]
         lib.cpprob_posterior_parse.restype = ctypes.c_void_p
         lib.cpprob_posterior_parse.argtypes = [ctypes.c_char_p]
+        lib.cpprob_posterior_n_particles.restype = ctypes.c_int64
+        lib.cpprob_posterior_n_particles.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_n_entries.restype = ctypes.c_int64
+        lib.cpprob_posterior_n_entries.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_log_weights.restype = ctypes.POINTER(ctypes.c_double)
+        lib.cpprob_posterior_log_weights.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.cpprob_posterior_offsets.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_ids.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.cpprob_posterior_ids.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_values.restype = ctypes.POINTER(ctypes.c_double)
+        lib.cpprob_posterior_values.argtypes = [ctypes.c_void_p]
+        lib.cpprob_posterior_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None

@@ -24,6 +24,21 @@ class StatsPrinter:
     def __init__(self, result):
         self.result = result
 
+    @classmethod
+    def from_dump(cls, path: str, native: Optional[bool] = None):
+        """Build from a reference-format posterior dump on disk — the full
+        ``StatsPrinter{outfile}`` path (``stats_printer.hpp:25-40``): parse
+        ``<path>.ids`` + ``.int``/``.real`` (native C++ parser when
+        available), then summarize."""
+        from ..inference.sis import ImportanceResult
+        from ..io.serialization import load_posterior
+
+        predicts, log_w = load_posterior(path, native=native)
+        predicts = {
+            k: np.asarray(v) for k, v in predicts.items() if len(v)
+        }
+        return cls(ImportanceResult(jnp.asarray(log_w), predicts))
+
     def summary(self) -> Dict[str, dict]:
         out = {}
         lw = self.result.log_weights

@@ -74,6 +74,30 @@ class TestSerialization:
             log_w, np.asarray(res.log_weights), rtol=1e-5
         )
 
+    def test_posterior_native_python_parity(self, key, tmp_path):
+        """The wired-in native parser (load_posterior(native=True)) must
+        agree exactly with the Python s-expression parser on a mixed
+        int/real dump with repeated predicts."""
+        from cpprob_tpu.io.tracefile import native_available
+        from cpprob_tpu.models import hmm
+
+        if not native_available():
+            pytest.skip("no native lib")
+        obs = jnp.array([0.9, -0.8, 0.7, 0.0, 1.1])
+        res = ct.sis(hmm, (obs,), 400, key)
+        path = str(tmp_path / "post")
+        dump_posterior(path, res)
+        pred_py, lw_py = load_posterior(path, native=False)
+        pred_nat, lw_nat = load_posterior(path, native=True)
+        np.testing.assert_allclose(lw_nat, lw_py, rtol=1e-12)
+        assert pred_py.keys() == pred_nat.keys()
+        for name in pred_py:
+            np.testing.assert_allclose(
+                np.asarray(pred_nat[name], np.float64),
+                np.asarray(pred_py[name], np.float64),
+                rtol=1e-12,
+            )
+
     def test_posterior_npz_roundtrip(self, key, tmp_path):
         res = ct.sis(gaussian_unknown_mean_readme, (3.0, 4.0), 500, key)
         path = str(tmp_path / "posterior.npz")

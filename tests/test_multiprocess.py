@@ -11,7 +11,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "_dist_worker.py")
@@ -23,7 +22,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
+# hang protection: the communicate(timeout=540) below (pytest-timeout is not
+# a dependency, so a timeout marker here would be a silent no-op)
 def test_two_process_mesh_sis_and_smc():
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
