@@ -1,0 +1,595 @@
+"""Kernel-from-spec fused SMC kernels — any discrete HMM or scalar SSM gets
+the VMEM-resident Pallas fast path, not just the two reference models.
+
+:mod:`cpprob_tpu.ops.pallas_hmm` holds hand-tuned kernels for the reference
+3-state HMM (``models.hpp:114-141``) and the linear-Gaussian model
+(``models.hpp:67-80``).  This module *generates* the same kernel family from
+a model specification:
+
+- :func:`make_fused_discrete_ssm` — K-state HMM with Gaussian emissions,
+  given (transition matrix, per-state means/stds, initial distribution).
+  Produces a complete :class:`~cpprob_tpu.inference.smc.StateSpaceModel`
+  (XLA reference paths + all fused hooks: init / step / multi-step chunk
+  with in-kernel exchange resampling and streaming ESS partials).
+- :func:`attach_fused_scalar_kernels` — scalar continuous-state SSM whose
+  per-particle physics the caller supplies as *elementwise* jax functions
+  ``step_elem(x, y, eps) -> (x', log_emission)``; the builder wraps them in
+  the chunked VMEM pipeline (hardware PRNG, Box-Muller normals, streaming
+  ESS partials, masked ragged tails).
+
+Kernel-construction notes (why the generated code looks the way it does):
+
+- Per-state lookups ``table[s]`` have no lane-wise gather on the TPU VPU;
+  the builder replaces each K-entry table with the unique degree-(K-1)
+  polynomial through its points and evaluates it with Horner FMAs on the
+  state value — exact at the integer states up to f32 rounding of the
+  (float64-solved) coefficients.
+- One 32-bit hardware draw feeds two steps as 16-bit uniforms
+  (quantization 2^-16, far below MC error at benchmark particle counts).
+- Exchange resampling synthesizes the sorted resampled population from the
+  K-1 global category tick boundaries (``inference/resampling.py``); a
+  resample epoch therefore reads neither states nor weights from HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_hmm import _BLOCK_R, _HALF_LOG_2PI, _LANES, _key_to_seed
+
+__all__ = [
+    "make_fused_discrete_ssm",
+    "attach_fused_scalar_kernels",
+    "discrete_hmm_log_evidence",
+    "discrete_hmm_smoothed_marginals",
+]
+
+
+# ---------------------------------------------------------------------------
+# Spec helpers
+# ---------------------------------------------------------------------------
+
+
+def _poly_coeffs(values: np.ndarray) -> np.ndarray:
+    """Coefficients (ascending order) of the degree-(K-1) polynomial through
+    points (s, values[s]) for s = 0..K-1, solved in float64."""
+    k = len(values)
+    s = np.arange(k, dtype=np.float64)
+    vander = s[:, None] ** np.arange(k, dtype=np.float64)[None, :]
+    return np.linalg.solve(vander, np.asarray(values, np.float64))
+
+
+def _horner(x, coeffs: np.ndarray):
+    """Evaluate an ascending-coefficient polynomial with FMAs."""
+    acc = jnp.full_like(x, float(coeffs[-1]))
+    for c in coeffs[-2::-1]:
+        acc = acc * x + float(c)
+    return acc
+
+
+def _emit_partials(part_ref, w, s_f32, K: Optional[int]):
+    """Write (max, sum e, sum e^2[, per-category sums]) into lanes 0.. of the
+    program's (8, 128) partials block (iota select — no scatter in Mosaic)."""
+    m = jnp.max(w)
+    e = jnp.exp(w - m)
+    vals = [m, jnp.sum(e), jnp.sum(e * e)]
+    if K is not None:
+        for k in range(K):
+            vals.append(jnp.sum(jnp.where(s_f32 == float(k), e, 0.0)))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    row = jnp.zeros((8, _LANES), jnp.float32)
+    for idx, v in enumerate(vals):
+        row = jnp.where((rowid == 0) & (lane == idx), v, row)
+    part_ref[:, :] = row
+
+
+def stats_from_partials_k(partials: jax.Array, n: int, K: Optional[int]):
+    """Combine per-block streaming partials into
+    (ess, cat_w(K,) or None, log-mean-exp)."""
+    p = partials[::8]
+    m_b, s1_b, s2_b = p[:, 0], p[:, 1], p[:, 2]
+    m = jnp.max(m_b)
+    scale = jnp.exp(m_b - m)
+    s1 = jnp.sum(s1_b * scale)
+    s2 = jnp.sum(s2_b * jnp.exp(2.0 * (m_b - m)))
+    ess = s1 * s1 / jnp.maximum(s2, 1e-38)
+    lme = m + jnp.log(jnp.maximum(s1, 1e-38)) - jnp.log(float(n))
+    if K is None:
+        return ess, None, lme
+    cat = p[:, 3 : 3 + K]
+    cat_w = jnp.sum(cat * scale[:, None], axis=0) / jnp.maximum(s1, 1e-38)
+    return ess, cat_w, lme
+
+
+def _uniform16(bits32, t):
+    """t-th 16-bit uniform from a 32-bit draw (t even: low half; odd: high)."""
+    if t % 2 == 0:
+        half = jax.lax.bitwise_and(bits32, jnp.int32(0xFFFF))
+    else:
+        half = jax.lax.shift_right_logical(bits32, 16)
+    return half.astype(jnp.float32) * (1.0 / 65536.0)
+
+
+# ---------------------------------------------------------------------------
+# Discrete K-state HMM family
+# ---------------------------------------------------------------------------
+
+
+def _make_discrete_chunk_kernel(
+    trans: np.ndarray,
+    means: np.ndarray,
+    stds: np.ndarray,
+    n_steps: int,
+    hw_prng: bool,
+):
+    """Generate the fused multi-step kernel for a K-state Gaussian-emission
+    HMM: per chunk, one HBM read+write of (state, log_w); per step, one
+    16-bit hardware uniform, K-1 transition-CDF Horner evaluations, the
+    emission reweight, and masked ragged-tail handling; chunk-start exchange
+    resample from ctrl ticks; streaming (max, Σe, Σe², per-category Σe)
+    partials for the next boundary."""
+    K = trans.shape[0]
+    cdf = np.cumsum(np.asarray(trans, np.float64), axis=1)  # (K, K)
+    cdf_polys = [_poly_coeffs(cdf[:, k]) for k in range(K - 1)]
+    mean_poly = _poly_coeffs(np.asarray(means, np.float64))
+    stds = np.asarray(stds, np.float64)
+    uniform_std = np.allclose(stds, stds[0])
+    if uniform_std:
+        inv2var = 0.5 / float(stds[0]) ** 2
+        lognorm = -float(np.log(stds[0])) - _HALF_LOG_2PI
+    else:
+        inv2var_poly = _poly_coeffs(0.5 / stds**2)
+        lognorm_poly = _poly_coeffs(-np.log(stds) - _HALF_LOG_2PI)
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
+               out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+
+        block_r = states_ref.shape[0]
+        flag = ctrl_ref[0] > 0
+        n_valid = ctrl_ref[K]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
+        j = (i * block_r + rowid) * _LANES + lane
+        synth = jnp.zeros(states_ref.shape, jnp.float32)
+        for k in range(K - 1):
+            synth = synth + (j >= ctrl_ref[1 + k]).astype(jnp.float32)
+        s = jnp.where(flag, synth, states_ref[:].astype(jnp.float32))
+        w = jnp.where(flag, 0.0, logw_ref[:])
+
+        bits32 = None
+        for t in range(n_steps):  # static unroll, particles stay in VMEM
+            if hw_prng:
+                if t % 2 == 0:
+                    bits32 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                    )
+                u = _uniform16(bits32, t)
+            else:
+                u = jnp.zeros(states_ref.shape, jnp.float32)
+            ns = jnp.zeros(states_ref.shape, jnp.float32)
+            for k in range(K - 1):
+                ns = ns + (u >= _horner(s, cdf_polys[k])).astype(jnp.float32)
+            y = ys_ref[t]
+            d = y - _horner(ns, mean_poly)
+            if uniform_std:
+                nw = w + (-(d * d) * inv2var + lognorm)
+            else:
+                nw = w + (
+                    -(d * d) * _horner(ns, inv2var_poly)
+                    + _horner(ns, lognorm_poly)
+                )
+            valid = t < n_valid
+            s = jnp.where(valid, ns, s)
+            w = jnp.where(valid, nw, w)
+
+        out_s_ref[:] = s.astype(jnp.int32)
+        out_w_ref[:] = w
+        _emit_partials(part_ref, w, s, K)
+
+    return kernel
+
+
+def _make_discrete_init_kernel(
+    init_probs: np.ndarray,
+    means: np.ndarray,
+    stds: np.ndarray,
+    hw_prng: bool,
+):
+    K = len(init_probs)
+    icdf = np.cumsum(np.asarray(init_probs, np.float64))
+    mean_poly = _poly_coeffs(np.asarray(means, np.float64))
+    stds = np.asarray(stds, np.float64)
+    inv2var_poly = _poly_coeffs(0.5 / stds**2)
+    lognorm_poly = _poly_coeffs(-np.log(stds) - _HALF_LOG_2PI)
+
+    def kernel(seed_ref, y_ref, out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        shape = out_w_ref.shape
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            u = _uniform16(bits, 0)
+        else:
+            u = jnp.zeros(shape, jnp.float32)
+        s = jnp.zeros(shape, jnp.float32)
+        for k in range(K - 1):
+            s = s + (u >= float(icdf[k])).astype(jnp.float32)
+        y = y_ref[0]
+        d = y - _horner(s, mean_poly)
+        w = -(d * d) * _horner(s, inv2var_poly) + _horner(s, lognorm_poly)
+        out_s_ref[:] = s.astype(jnp.int32)
+        out_w_ref[:] = w
+        _emit_partials(part_ref, w, s, K)
+
+    return kernel
+
+
+def _pallas_population_call(kernel, n: int, block_r: int, n_scalar_inputs: int,
+                            state_dtype, interpret: bool, *operands):
+    """Shared pallas_call plumbing: sequential grid over (block_r, 128)
+    particle tiles; SMEM scalars first, then (states, log_w) VMEM tiles;
+    outputs (states', log_w', partials)."""
+    r = n // _LANES
+    assert r * _LANES == n and r % block_r == 0, (n, block_r)
+    n_blocks = r // block_r
+    vmem = lambda: pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    n_vmem_in = len(operands) - n_scalar_inputs
+    out_s, out_w, partials = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar_inputs
+        + [vmem() for _ in range(n_vmem_in)],
+        out_specs=[
+            vmem(), vmem(),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), state_dtype),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out_s, out_w, partials
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec_key", "n_steps", "block_r", "interpret"),
+)
+def _discrete_chunk(seed, states, log_w, ys, n_valid, flag, ticks, *,
+                    spec_key, n_steps, block_r, interpret):
+    trans, means, stds, _ = _SPECS[spec_key]
+    K = trans.shape[0]
+    n = states.shape[0]
+    r = n // _LANES
+    ctrl = jnp.concatenate([
+        jnp.asarray(flag, jnp.int32).reshape(1),
+        jnp.asarray(ticks, jnp.int32).reshape(K - 1),
+        jnp.asarray(n_valid, jnp.int32).reshape(1),
+    ])
+    out_s, out_w, partials = _pallas_population_call(
+        _make_discrete_chunk_kernel(trans, means, stds, n_steps,
+                                    hw_prng=not interpret),
+        n, block_r, 3, jnp.int32, interpret,
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(ys, jnp.float32).reshape(n_steps),
+        ctrl,
+        states.reshape(r, _LANES),
+        log_w.reshape(r, _LANES),
+    )
+    ess, cat_w, lme = stats_from_partials_k(partials, n, K)
+    return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec_key", "n", "block_r", "interpret")
+)
+def _discrete_init(seed, y0, *, spec_key, n, block_r, interpret):
+    trans, means, stds, init_probs = _SPECS[spec_key]
+    K = trans.shape[0]
+    out_s, out_w, partials = _pallas_population_call(
+        _make_discrete_init_kernel(init_probs, means, stds,
+                                   hw_prng=not interpret),
+        n, block_r, 2, jnp.int32, interpret,
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(y0, jnp.float32).reshape(1),
+    )
+    ess, cat_w, lme = stats_from_partials_k(partials, n, K)
+    return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
+
+
+# registry of specs keyed by a hashable token so the jitted entry points can
+# treat the (numpy) spec tables as static compile-time constants
+_SPECS: dict = {}
+
+
+def _intern_spec(trans, means, stds, init_probs) -> tuple:
+    key = (
+        trans.tobytes(), means.tobytes(), stds.tobytes(), init_probs.tobytes(),
+        trans.shape[0],
+    )
+    _SPECS[key] = (trans, means, stds, init_probs)
+    return key
+
+
+def make_fused_discrete_ssm(
+    trans,
+    means,
+    stds=None,
+    init_probs=None,
+    *,
+    block_r: int = _BLOCK_R,
+    interpret: bool = False,
+):
+    """Build a complete :class:`StateSpaceModel` for a K-state HMM with
+    Gaussian emissions ``y_t ~ N(means[z_t], stds[z_t])`` — XLA reference
+    paths plus generated Pallas fused kernels (init / step / chunk with
+    in-kernel exchange resampling).
+
+    The reference ships exactly one hard-wired HMM (``models.hpp:114-141``);
+    here any user HMM spec gets the same fused fast path:
+
+    >>> ssm = make_fused_discrete_ssm(trans5, means5, stds5)
+    >>> run = build_smc_run(ssm, 1 << 24, chunk=8)
+    """
+    from ..inference.smc import StateSpaceModel
+
+    trans = np.asarray(trans, np.float64)
+    K = trans.shape[0]
+    if trans.shape != (K, K):
+        raise ValueError(f"transition matrix must be square, got {trans.shape}")
+    if not np.allclose(trans.sum(axis=1), 1.0, atol=1e-6):
+        raise ValueError("transition rows must sum to 1")
+    if K > 32:
+        raise ValueError(
+            f"K={K}: polynomial table evaluation is limited to K <= 32 "
+            "(f32 Horner accuracy); use the XLA path for larger state spaces"
+        )
+    means = np.asarray(means, np.float64).reshape(K)
+    stds = (np.ones(K) if stds is None else np.asarray(stds, np.float64)).reshape(K)
+    if np.any(stds <= 0):
+        raise ValueError("emission stds must be positive")
+    init_probs = (
+        np.full(K, 1.0 / K)
+        if init_probs is None
+        else np.asarray(init_probs, np.float64).reshape(K)
+    )
+    spec_key = _intern_spec(trans, means, stds, init_probs)
+
+    trans_j = jnp.asarray(trans, jnp.float32)
+    means_j = jnp.asarray(means, jnp.float32)
+    stds_j = jnp.asarray(stds, jnp.float32)
+    init_j = jnp.asarray(init_probs, jnp.float32)
+    log_trans = jnp.log(jnp.maximum(trans_j, 1e-38))
+    log_init = jnp.log(jnp.maximum(init_j, 1e-38))
+
+    def obs_logpdf(s, y, t):
+        mu, sd = means_j[s], stds_j[s]
+        return -0.5 * ((y - mu) / sd) ** 2 - jnp.log(sd) - _HALF_LOG_2PI
+
+    def fused_chunk(key, states, log_w, ys, n_valid, flag, ticks):
+        return _discrete_chunk(
+            _key_to_seed(key), states, log_w, ys, n_valid, flag, ticks,
+            spec_key=spec_key, n_steps=ys.shape[0], block_r=block_r,
+            interpret=interpret,
+        )
+
+    def fused_step_exchange(key, states, log_w, y, t, flag, ticks):
+        return _discrete_chunk(
+            _key_to_seed(key), states, log_w,
+            jnp.asarray(y, jnp.float32).reshape(1), jnp.int32(1), flag, ticks,
+            spec_key=spec_key, n_steps=1, block_r=block_r,
+            interpret=interpret,
+        )
+
+    def fused_step_ess(key, states, log_w, y, t):
+        s, w, ess, _, _ = _discrete_chunk(
+            _key_to_seed(key), states, log_w,
+            jnp.asarray(y, jnp.float32).reshape(1), jnp.int32(1),
+            jnp.int32(0), jnp.zeros((K - 1,), jnp.int32),
+            spec_key=spec_key, n_steps=1, block_r=block_r,
+            interpret=interpret,
+        )
+        return s, w, ess
+
+    def fused_init(key, n, y0):
+        return _discrete_init(
+            _key_to_seed(key), y0, spec_key=spec_key, n=n, block_r=block_r,
+            interpret=interpret,
+        )
+
+    return StateSpaceModel(
+        init_sample=lambda key: jax.random.categorical(key, log_init),
+        init_logpdf=lambda s: log_init[s],
+        step_sample=lambda key, s, t: jax.random.categorical(key, log_trans[s]),
+        step_logpdf=lambda s, s_new, t: log_trans[s, s_new],
+        obs_logpdf=obs_logpdf,
+        init_sample_batch=lambda key, n: jax.random.categorical(
+            key, log_init, shape=(n,)
+        ),
+        step_sample_batch=lambda key, states, t: jax.random.categorical(
+            key, log_trans[states], axis=-1
+        ),
+        obs_logpdf_batch=lambda states, y, t: obs_logpdf(states, y, t),
+        obs_sample=lambda key, s, t: means_j[s]
+        + stds_j[s] * jax.random.normal(key, ()),
+        state_categories=K,
+        fused_step_ess_batch=fused_step_ess,
+        fused_step_exchange_batch=fused_step_exchange,
+        fused_chunk_exchange_batch=fused_chunk,
+        fused_init_batch=fused_init,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar continuous family (user-supplied elementwise physics)
+# ---------------------------------------------------------------------------
+
+
+def _make_scalar_chunk_kernel(step_elem: Callable, n_steps: int, hw_prng: bool):
+    """Generate the fused multi-step kernel for a scalar continuous SSM.
+    ``step_elem(x, y, eps) -> (x', log_emission)`` runs elementwise on the
+    VMEM tile with ``eps`` a standard normal (Box-Muller on hardware bits)."""
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
+               out_s_ref, out_w_ref, part_ref):
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+        n_valid = ctrl_ref[0]
+        x = states_ref[:]
+        w = logw_ref[:]
+        for t in range(n_steps):
+            if hw_prng:
+                b1 = pltpu.bitcast(
+                    pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                )
+                b2 = pltpu.bitcast(
+                    pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                )
+                u1 = _uniform16(b1, 0) + (0.5 / 65536.0)
+                u2 = _uniform16(b2, 0)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                eps = r * jnp.cos(2.0 * jnp.pi * u2)
+            else:
+                eps = jnp.zeros(states_ref.shape, jnp.float32)
+            nx, log_emit = step_elem(x, ys_ref[t], eps)
+            valid = t < n_valid
+            x = jnp.where(valid, nx, x)
+            w = jnp.where(valid, w + log_emit, w)
+        out_s_ref[:] = x
+        out_w_ref[:] = w
+        _emit_partials(part_ref, w, x, None)
+
+    return kernel
+
+
+def attach_fused_scalar_kernels(
+    base_model,
+    step_elem: Callable,
+    *,
+    block_r: int = _BLOCK_R,
+    interpret: bool = False,
+):
+    """Attach generated Pallas chunk kernels to a scalar continuous-state
+    :class:`StateSpaceModel`.
+
+    ``step_elem(x, y, eps) -> (x', log_emission)`` is the model's physics as
+    an elementwise jax function (``eps``: standard normal drawn from the TPU
+    hardware PRNG inside the kernel).  It must use only elementwise ops —
+    it is traced into the Mosaic kernel.  The builder supplies the chunk
+    pipeline: VMEM-resident multi-step loop (one HBM read+write per chunk),
+    ragged-tail masking, and streaming (max, Σe, Σe²) ESS partials.
+
+    The linear-Gaussian model (``models.hpp:67-80``) is this instance:
+
+    >>> lg = attach_fused_scalar_kernels(
+    ...     linear_gaussian_ssm,
+    ...     lambda x, y, eps: (x + eps, -0.5*(y-(x+eps))**2 - _HALF_LOG_2PI))
+    """
+    kernels: dict = {}
+
+    def chunk_call(seed, states, log_w, ys, n_valid, n_steps):
+        n = states.shape[0]
+        r = n // _LANES
+        fn = kernels.get(n_steps)
+        if fn is None:
+            fn = _make_scalar_chunk_kernel(
+                step_elem, n_steps, hw_prng=not interpret
+            )
+            kernels[n_steps] = fn
+        out_s, out_w, partials = _pallas_population_call(
+            fn, n, block_r, 3, jnp.float32, interpret,
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(ys, jnp.float32).reshape(n_steps),
+            jnp.asarray(n_valid, jnp.int32).reshape(1),
+            states.reshape(r, _LANES),
+            log_w.reshape(r, _LANES),
+        )
+        ess, _, _ = stats_from_partials_k(partials, n, None)
+        return out_s.reshape(n), out_w.reshape(n), ess
+
+    def fused_chunk(key, states, log_w, ys, n_valid):
+        return chunk_call(
+            _key_to_seed(key), states, log_w, ys, n_valid, ys.shape[0]
+        )
+
+    def fused_step(key, states, log_w, y, t):
+        s, w, _ = chunk_call(
+            _key_to_seed(key), states, log_w,
+            jnp.asarray(y, jnp.float32).reshape(1), jnp.int32(1), 1,
+        )
+        return s, w
+
+    return dataclasses.replace(
+        base_model,
+        fused_chunk_batch=fused_chunk,
+        fused_step_batch=fused_step,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles (tests / validation)
+# ---------------------------------------------------------------------------
+
+
+def discrete_hmm_log_evidence(trans, means, stds, init_probs, observations):
+    """Exact log p(y_{1:T}) for a K-state Gaussian-emission HMM via the
+    forward recursion (float64, host numpy)."""
+    trans = np.asarray(trans, np.float64)
+    means = np.asarray(means, np.float64)
+    stds = np.asarray(stds, np.float64)
+    p = np.asarray(init_probs, np.float64)
+    obs = np.asarray(observations, np.float64)
+    log_z = 0.0
+    for t, y in enumerate(obs):
+        emis = np.exp(-0.5 * ((y - means) / stds) ** 2) / (
+            stds * np.sqrt(2 * np.pi)
+        )
+        a = (p if t == 0 else alpha @ trans) * emis
+        log_z += np.log(a.sum())
+        alpha = a / a.sum()
+    return float(log_z)
+
+
+def discrete_hmm_smoothed_marginals(trans, means, stds, init_probs,
+                                    observations):
+    """Exact smoothed marginals p(z_t | y_{1:T}) (T, K) via forward-backward
+    (float64, host numpy) — generic-K version of
+    :func:`cpprob_tpu.models.hmm.hmm_exact_posterior`."""
+    trans = np.asarray(trans, np.float64)
+    means = np.asarray(means, np.float64)
+    stds = np.asarray(stds, np.float64)
+    p0 = np.asarray(init_probs, np.float64)
+    obs = np.asarray(observations, np.float64)
+    T, K = obs.shape[0], trans.shape[0]
+    emis = np.exp(-0.5 * ((obs[:, None] - means[None, :]) / stds) ** 2) / (
+        stds * np.sqrt(2 * np.pi)
+    )
+    alphas = np.zeros((T, K))
+    a = p0 * emis[0]
+    alphas[0] = a / a.sum()
+    for t in range(1, T):
+        a = (alphas[t - 1] @ trans) * emis[t]
+        alphas[t] = a / a.sum()
+    betas = np.ones((T, K))
+    for t in range(T - 2, -1, -1):
+        b = trans @ (emis[t + 1] * betas[t + 1])
+        betas[t] = b / b.sum()
+    post = alphas * betas
+    return post / post.sum(axis=1, keepdims=True)
