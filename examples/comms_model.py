@@ -1,0 +1,218 @@
+"""Collective-scheme communication characterization -> SCALING_r03.json.
+
+The virtual-CPU-mesh weak-scaling numbers (SCALING_r02.json) bound overhead
+but cannot predict real-ICI behavior: the 2 shared host cores serialize what
+a pod overlaps.  This artifact decomposes each distributed-resampling
+scheme's communication analytically (bytes moved per epoch, collective
+structure), measures the inputs that are measurable here (epochs triggered
+per sweep, single-chip compute time per sweep, virtual-mesh efficiencies),
+and combines them with stated ICI assumptions into a predicted 2-host
+efficiency — ready to validate the day real multi-host hardware appears.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python examples/comms_model.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+# --- stated hardware assumptions (public figures; see jax-ml.github.io/
+# scaling-book): v5e 2D torus, per-link one-way ~45 GB/s, ~4 us collective
+# hop latency; a 2-host v5e slice (8 chips) is a single ICI domain.
+ICI_BW = 45e9          # bytes/s one-way per ring neighbor link
+HOP_LAT = 4e-6         # seconds per collective hop
+CHIPS = 8              # 2 hosts x 4 chips
+# measured single-chip compute (BENCH_r02 / bench.py detail): 2^26 particles,
+# T=16, chunk=8 fused kernel, ESS resampling live
+N_LOCAL = 1 << 26
+T = 16
+SINGLE_CHIP_SWEEP_S = 0.01177
+
+
+def analytic_models(n_local: int, k: int, epochs: float, state_bytes: int = 4):
+    """Bytes moved and predicted epoch wall time per scheme.
+
+    - collective (ring-exchange, exact, any state type): each shard's
+      (states, cdf-segment) block of n_local*(state_bytes+4) bytes makes
+      k-1 ppermute hops; per-shard egress per epoch is (k-1) *
+      n_local * (state_bytes+4); hops pipeline on neighbor links.
+    - exchange (exact, discrete K-state): one psum of K f32 category
+      sums + scalar ticks — latency-bound, ~2*log2(k) hops.
+    - island (approximate, unbiased in Z): scalar collectives only.
+    """
+    blk = n_local * (state_bytes + 4)
+    ring_egress = (k - 1) * blk
+    ring_time = ring_egress / ICI_BW + (k - 1) * HOP_LAT
+    psum_time = 2 * np.log2(k) * HOP_LAT
+    return {
+        "collective_ring": {
+            "bytes_egress_per_shard_per_epoch": ring_egress,
+            "epoch_time_s": ring_time,
+            "per_sweep_comm_s": epochs * ring_time,
+        },
+        "exchange": {
+            "bytes_egress_per_shard_per_epoch": 3 * 4 * int(np.log2(k)) * 2,
+            "epoch_time_s": psum_time,
+            "per_sweep_comm_s": epochs * psum_time,
+        },
+        "island": {
+            "bytes_egress_per_shard_per_epoch": 8 * int(np.log2(k)) * 2,
+            "epoch_time_s": psum_time,
+            "per_sweep_comm_s": epochs * psum_time,
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=1 << 14)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+    from cpprob_tpu.inference.smc import build_smc_run
+    from cpprob_tpu.models import HMM_MEANS, HMM_TRANS, hmm_ssm
+    from cpprob_tpu.parallel import particle_mesh, smc_sharded
+
+    # --- measured: epochs triggered per sweep (ESS threshold 0.5) ---------
+    rng = np.random.RandomState(0)
+    z = rng.randint(0, 3)
+    obs = []
+    for t in range(T):
+        if t > 0:
+            z = rng.choice(3, p=HMM_TRANS[z])
+        obs.append(rng.normal(HMM_MEANS[z], 1.0))
+    obs = jnp.asarray(np.asarray(obs, np.float32))
+
+    run = jax.jit(build_smc_run(hmm_ssm, 1 << 16, store_history=True))
+    epoch_counts = [
+        int(np.asarray(run(jax.random.key(i), obs).resampled).sum())
+        for i in range(8)
+    ]
+    epochs_per_step = float(np.mean(epoch_counts))
+    # The single-chip sweep time is the chunk=8 fused kernel, whose ESS
+    # check runs at chunk boundaries (1 interior boundary at T=16):
+    # bench.py's committed detail records resample_epochs = 1.0 per sweep
+    # at 2^26 particles.  (The chunked kernels need the TPU hardware PRNG,
+    # so the boundary count cannot be re-measured on this CPU mesh.)
+    epochs = 1.0
+    chunk_counts = "bench.py detail: resample_epochs=1.0 (2^26, chunk=8)"
+    print(f"measured resample epochs/sweep (T={T}, thr 0.5): "
+          f"per-step {epochs_per_step:.2f} {epoch_counts}; chunk=8 "
+          f"boundaries {epochs:.2f} ({chunk_counts})", file=sys.stderr)
+
+    # --- measured: virtual-mesh efficiencies (structural check) -----------
+    devices = jax.devices()
+    virtual = {}
+    for scheme in ("collective", "island", "exchange"):
+        rows = []
+        for k in (1, 2, 4, 8):
+            if k > len(devices):
+                break
+            mesh = particle_mesh(devices=devices[:k])
+            n = args.per_device * k
+
+            def runk(key):
+                return smc_sharded(hmm_ssm, obs, n, key, mesh=mesh,
+                                   scheme=scheme)
+
+            r = runk(jax.random.key(0)); float(r.log_evidence)
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                r = runk(jax.random.key(i + 1))
+                float(r.log_evidence)
+                ts.append(time.perf_counter() - t0)
+            rows.append({
+                "devices": k, "n": n,
+                "sweep_s": float(np.median(ts)),
+                "log_evidence": float(r.log_evidence),
+            })
+        base = rows[0]["sweep_s"] * rows[0]["devices"]
+        for row in rows[1:]:
+            row["efficiency"] = (
+                rows[0]["sweep_s"] / row["sweep_s"]
+            )
+        virtual[scheme] = rows
+
+    # --- analytic: bytes + predicted 2-host efficiency --------------------
+    models = analytic_models(N_LOCAL, CHIPS, epochs)
+    predictions = {}
+    for scheme, m in models.items():
+        comm = m["per_sweep_comm_s"]
+        # the fused sweep's compute does not overlap the resample epoch
+        # (the epoch is a data dependency between chunks): no-overlap model
+        predictions[scheme] = {
+            "predicted_sweep_s": SINGLE_CHIP_SWEEP_S + comm,
+            "predicted_weak_scaling_efficiency":
+                SINGLE_CHIP_SWEEP_S / (SINGLE_CHIP_SWEEP_S + comm),
+            **m,
+        }
+
+    out = {
+        "artifact": "collective-scheme communication characterization + "
+                    "2-host prediction (VERDICT r2 item 9)",
+        "assumptions": {
+            "ici_bw_one_way_bytes_per_s": ICI_BW,
+            "hop_latency_s": HOP_LAT,
+            "chips": CHIPS,
+            "topology": "v5e 2-host slice, single ICI domain (ring over "
+                        "the particle axis)",
+            "single_chip_sweep_s": SINGLE_CHIP_SWEEP_S,
+            "n_local": N_LOCAL,
+            "T": T,
+            "overlap": "none — a resample epoch is a data dependency "
+                       "between chunk launches, so comm adds serially; "
+                       "this makes the prediction a lower bound for "
+                       "schemes where ppermute hops could overlap the "
+                       "next chunk's compute after slot reindexing",
+        },
+        "measured": {
+            "resample_epochs_per_sweep": epochs,
+            "resample_epochs_note": "at chunk=8 boundary granularity (the "
+                                    "fused kernel the compute time is "
+                                    "measured on); per-step granularity "
+                                    "triggers more often",
+            "resample_epochs_per_sweep_per_step_granularity": epochs_per_step,
+            "epoch_counts_by_seed": chunk_counts,
+            "virtual_mesh": virtual,
+            "virtual_mesh_note": "2 shared host cores — efficiencies are "
+                                 "lower bounds on collective overhead, not "
+                                 "parallel speedup (see SCALING_r02.json)",
+        },
+        "predicted_2host": predictions,
+        "conclusion": (
+            "exchange (exact, discrete states) and island (unbiased-Z) are "
+            "latency-bound: predicted >=99.8% weak-scaling efficiency at 8 "
+            "chips. The exact ring scheme moves (k-1)*n_local*8 bytes per "
+            "shard per epoch — at 2^26 particles/chip that is 3.8 GB "
+            "(~85 ms at 45 GB/s) vs 11.8 ms of compute, so exact "
+            "continuous-state resampling at full HBM occupancy is "
+            "ICI-bandwidth-dominated and should either shrink per-chip "
+            "population during epochs or switch to exchange/island "
+            "semantics; for discrete-state SSMs (the flagship bench) the "
+            "fused exchange path already makes pod-scale resampling free."
+        ),
+    }
+    path = args.out or os.path.join(repo, "SCALING_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

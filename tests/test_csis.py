@@ -222,3 +222,65 @@ def test_mdn_head_covers_bimodal_posterior(key):
     # MDN guided ESS beats prior SIS
     res_p = ct.sis(m, (4.0,), 20_000, key)
     assert float(res.ess) > 2.0 * float(res_p.ess)
+
+
+def test_truncated_prior_gets_proposal_head(key):
+    """Truncated priors route to the truncated-mixture head (beyond the
+    reference's 4-type parse set, infcomp/traits.py:28-34): the guided
+    posterior must match 1-D quadrature and beat the prior-fallback ESS."""
+    from cpprob_tpu.distributions import Truncated
+
+    def m(y):
+        x = ct.sample(Truncated(Normal(0.0, 2.0), -1.0, 3.0), addr="x")
+        ct.observe(Normal(x, 0.5), y, addr="y")
+        ct.predict(x, "X")
+
+    eng = CSIS(m, (0.0,))
+    assert eng.structure.sites[0].kind == "uniform"  # bounded-support head
+    params, losses = eng.compile(jax.random.key(3), steps=400, batch_size=256)
+    assert float(losses[-1]) < float(losses[0])
+
+    y_obs = 2.5
+    res = eng.infer(params, (y_obs,), 20_000, key)
+    # quadrature oracle
+    xs = np.linspace(-1.0, 3.0, 20_001)
+    post = np.exp(-0.5 * (xs / 2.0) ** 2) * np.exp(
+        -0.5 * ((y_obs - xs) / 0.5) ** 2
+    )
+    post /= np.trapezoid(post, xs)
+    true_mean = np.trapezoid(xs * post, xs)
+    assert abs(float(res.mean("X")) - true_mean) < 0.05
+    res_p = ct.sis(m, (y_obs,), 20_000, key)
+    assert float(res.ess) > 2.0 * float(res_p.ess)
+
+
+def test_mixture_prior_gets_mdn_head(key):
+    """Mixture priors route to a mixture-density head sized to the prior."""
+    from cpprob_tpu.distributions import Mixture
+
+    def m(y):
+        z = ct.sample(
+            Mixture(Normal(jnp.array([-2.0, 2.0]), jnp.array([0.5, 0.5])),
+                    jnp.array([0.5, 0.5])),
+            addr="z",
+        )
+        ct.observe(Normal(z, 0.5), y, addr="y")
+        ct.predict(z, "Z")
+
+    eng = CSIS(m, (0.0,))
+    assert eng.structure.sites[0].kind == "mdn"
+    params, losses = eng.compile(jax.random.key(4), steps=400, batch_size=256)
+    assert float(losses[-1]) < float(losses[0])
+
+    y_obs = 1.8
+    res = eng.infer(params, (y_obs,), 20_000, key)
+    zs = np.linspace(-5.0, 5.0, 40_001)
+    prior = 0.5 * np.exp(-0.5 * ((zs + 2) / 0.5) ** 2) + 0.5 * np.exp(
+        -0.5 * ((zs - 2) / 0.5) ** 2
+    )
+    post = prior * np.exp(-0.5 * ((y_obs - zs) / 0.5) ** 2)
+    post /= np.trapezoid(post, zs)
+    true_mean = np.trapezoid(zs * post, zs)
+    assert abs(float(res.mean("Z")) - true_mean) < 0.08
+    res_p = ct.sis(m, (y_obs,), 20_000, key)
+    assert float(res.ess) > 2.0 * float(res_p.ess)
