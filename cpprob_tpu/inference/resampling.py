@@ -26,6 +26,7 @@ __all__ = [
     "category_counts_systematic",
     "states_from_counts",
     "exchange_resample_discrete",
+    "continuous_resample_values",
     "sorted_systematic_resample_values",
 ]
 
@@ -247,6 +248,29 @@ def sorted_systematic_resample_values(
     fill = jnp.full((n_out,), -jnp.inf, sorted_s.dtype)
     fill = fill.at[starts].max(sorted_s, mode="drop")
     return jax.lax.cummax(fill)
+
+
+def continuous_resample_values(key, log_weights, states):
+    """Systematic resample of a scalar continuous population, returning the
+    new value population directly (no genealogy).  Dispatch: the streaming
+    Pallas merge kernel on TPU backends
+    (:mod:`cpprob_tpu.ops.pallas_resample` — sort/scatter-free, ~20x the
+    XLA epoch), sorted-fill everywhere else."""
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and getattr(states, "ndim", 0) == 1
+        and states.dtype == jnp.float32
+    ):
+        from ..ops.pallas_resample import (
+            streaming_available,
+            streaming_systematic_resample_values,
+        )
+
+        if streaming_available(log_weights.shape[0]):
+            return streaming_systematic_resample_values(
+                key, log_weights, states
+            )
+    return sorted_systematic_resample_values(key, log_weights, states)
 
 
 _RESAMPLERS = {

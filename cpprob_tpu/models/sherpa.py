@@ -236,8 +236,13 @@ def _synthetic_tau_decay():
     # polar angle from the mother axis (+x); azimuth in the (y, z) plane
     theta = jnp.arccos(px / jnp.sqrt(px**2 + py**2 + pz**2))
     phi = jnp.arctan2(pz, py)
+    # product 3 (present only in channel 3) is a pion (pdg 211): the
+    # reference's tau channels are hadronic, so one channel keeps the HAD
+    # shower-parameter branch (sampling 0.25, z-width 1.0;
+    # calorimeter.cpp:56-76) exercised end-to-end
+    pdg = jnp.asarray([11.0, 11.0, 11.0, 211.0])
     particles = jnp.stack(
-        [px, py, pz, e, theta, phi, jnp.full((4,), 11.0),
+        [px, py, pz, e, theta, phi, pdg,
          jnp.ones((4,))], axis=-1,
     ) * active  # inactive rows zeroed (calo_visible=0 -> skipped)
     mother = jnp.sum(moms[:, :3] * active, axis=0)
@@ -246,7 +251,8 @@ def _synthetic_tau_decay():
 
 def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
                                max_deposits: int = _MAX_DEPOSITS,
-                               abc_variance: str = "poisson"):
+                               abc_variance: str = "poisson",
+                               abc_tolerance_scale: float = 1.0):
     """Full SHERPA-model structure (``sherpa.cpp:49-68``): simulate the decay,
     run the calorimeter, **ABC-observe** the voxel histogram (dirac sampler +
     MVN approximate logpdf), predict channel + mother momentum.
@@ -264,6 +270,14 @@ def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
       (``multivariate_normal(calo_histo, calo_histo)``: Var = value, the
       count-units Poisson formula applied to energy units).  Informative
       only when voxel values are O(1) GeV, i.e. real 45-GeV LEP taus.
+
+    ``abc_tolerance_scale`` multiplies the per-voxel std — the ABC *kernel
+    bandwidth*.  At bandwidth 1 the exact counting tolerance over ~25k
+    voxels makes the summed log-likelihood spread thousands of nats, so one
+    particle carries all the weight (ESS ~ 1) no matter how good the
+    proposal is; widening the kernel trades posterior sharpness for a
+    usable importance distribution (standard ABC practice — the reference's
+    own Var = value is itself an uncalibrated bandwidth choice).
     """
     channel, mother, particles = _synthetic_tau_decay()
     calo = calo_simulation(particles, n_bins=n_bins, max_deposits=max_deposits)
@@ -274,6 +288,7 @@ def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
         std = jnp.sqrt(jnp.maximum(flat, 1e-2))
     else:
         raise ValueError(f"unknown abc_variance {abc_variance!r}")
+    std = std * abc_tolerance_scale
     approx = MultivariateNormalDiag(flat, std)
     abc = make_abc(
         sampler=lambda key: flat,

@@ -1,0 +1,392 @@
+"""Streaming systematic resampling for scalar continuous states — the
+Pallas expand/merge kernel pair that replaces the XLA sort/scatter epoch.
+
+Why: on TPU the XLA building blocks of a resampling epoch are catastrophic
+at population scale (measured at 2^24 on one v5e chip: ``lax.sort`` 81 ms,
+``.at[].max`` scatter 204 ms, gather 170 ms, ``cummax`` 28 ms — hundreds of
+times below streaming bandwidth), so the sorted-fill path of
+:func:`cpprob_tpu.inference.resampling.sorted_systematic_resample_values`
+costs ~250 ms per epoch and dominates any fused sweep.  Discrete states
+escape via category counts (``exchange_resample_discrete``); continuous
+states need the general thing: this module.
+
+Algorithm (exact systematic resampling, no sort, no scatter, no gather):
+
+1. Systematic ancestors are **monotone** in the slot index, so output slot
+   ``i`` holds the value of the last input ``j`` whose start slot
+   ``st_j = ceil(n*cdf_{j-1} - u0)`` is ``<= i``.  Writing
+   ``dv_j = v_j - v_{j-1}``, the output is the *merge-structured cumulative*
+   ``out(i) = sum_{st_j <= i} dv_j`` — which telescopes exactly to the
+   ancestor's value (no error accumulation across inputs: the carry is
+   re-seated to a raw input value each time a group is consumed).
+2. **Pass 1** (one streaming sweep, sequential grid, Kahan SMEM carry):
+   normalized-cdf prefix + start slots + value differences, written as
+   dense ``(st, dv)`` arrays.  In-tile prefix is a Hillis–Steele ladder
+   (7 lane shifts + row-sum prefix), so float error stays O(log n · eps).
+3. **Pass 2** (merge-fill): sequential grid over output tiles; an SMEM
+   cursor walks input row-groups of 128 exactly once globally (two-pointer
+   merge — total work O(n/128) cross-ops).  Each (input group x output
+   group) pair costs one (128,128) compare + multiply and one MXU
+   reduction by an all-ones vector; output columns assemble by lane
+   select.  Input windows are DMA'd on demand from HBM.
+
+The output enumeration is a fixed (transposed-within-tile) permutation of
+slot indices — valid because a particle population is a multiset; any fixed
+enumeration of the systematic slots is the same resampling scheme.  Like
+the sorted-fill path, slot boundaries are computed in f32, so populations
+beyond 2^24 incur +-few-slot boundary rounding (far below MC error).
+Unlike sorted-fill, inputs keep their arrival order (plain systematic
+resampling; the sorted path's extra stratification is traded for the
+~20x epoch speedup).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_hmm import _LANES
+
+__all__ = ["streaming_systematic_resample_values", "streaming_available"]
+
+_W = 128           # input window rows per DMA (128 x 128 particles)
+_OUT_GROUPS = 128  # output tile: 128 groups x 128 slots
+
+
+def _lane_shift_right(x, k):
+    """Shift along lanes by +k (prepend zeros)."""
+    return jnp.concatenate([jnp.zeros_like(x[:, :k]), x[:, :-k]], axis=1)
+
+
+def _row_shift_down(x, k):
+    """Shift along sublanes by +k (prepend zero rows)."""
+    return jnp.concatenate([jnp.zeros_like(x[:k, :]), x[:-k, :]], axis=0)
+
+
+def _prefix_rows_lanes(w):
+    """Inclusive prefix sum of a (R, 128) tile in row-major flat order:
+    Hillis-Steele along lanes, then a row-offset ladder along sublanes
+    (error O(log n * eps), unlike a sequential left-fold)."""
+    p = w
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        p = p + _lane_shift_right(p, k)
+    # per-row totals, broadcast across lanes (Mosaic cannot concat (R, 1)
+    # columns, so the row ladder runs on full-width tiles)
+    inc = jax.lax.broadcast_in_dim(p[:, -1:], p.shape, (0, 1))
+    k = 1
+    while k < p.shape[0]:
+        inc = inc + _row_shift_down(inc, k)
+        k *= 2
+    return p + _row_shift_down(inc, 1)   # + exclusive row offsets
+
+
+def _pass1_kernel(scal_ref, lw_ref, vals_ref, st_ref, dv_ref, carry_ref):
+    """scal: [m, wtot_inv, u0, n_out]; carries (SMEM, persist across the
+    sequential grid): [cdf_kahan_hi, cdf_kahan_lo, prev_val]."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0] = 0.0
+        carry_ref[1] = 0.0
+        carry_ref[2] = 0.0
+
+    m = scal_ref[0]
+    wtot_inv = scal_ref[1]
+    u0 = scal_ref[2]
+    n_out = scal_ref[3]
+
+    w = jnp.exp(lw_ref[:] - m) * wtot_inv
+    pre = _prefix_rows_lanes(w)          # inclusive, tile-local
+    c_hi, c_lo = carry_ref[0], carry_ref[1]
+    c = c_hi + c_lo
+    excl = c + (pre - w)                 # exclusive global prefix
+    st = jnp.ceil(n_out * excl - u0)
+    st = jnp.clip(st, 0.0, n_out).astype(jnp.int32)
+    st_ref[:] = st
+
+    v = vals_ref[:]
+    row_last = jax.lax.broadcast_in_dim(v[:, -1:], v.shape, (0, 1))
+    pv = _lane_shift_right(v, 1) + jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) == 0,
+        _row_shift_down(row_last, 1),
+        0.0,
+    )
+    rowid = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    pv = jnp.where((rowid == 0) & (lane == 0), carry_ref[2], pv)
+    dv_ref[:] = v - pv
+
+    # Kahan (two-sum) update of the running cdf with this tile's total
+    # (w >= 0, so the inclusive prefix's max is the tile total)
+    tile_tot = jnp.max(pre)
+    s = c_hi + tile_tot
+    err = tile_tot - (s - c_hi)
+    carry_ref[0] = s
+    carry_ref[1] = c_lo + err
+    # last particle value of this tile (for the next tile's first diff)
+    carry_ref[2] = jnp.max(
+        jnp.where((rowid == v.shape[0] - 1) & (lane == _LANES - 1), v,
+                  -jnp.inf)
+    )
+
+
+def _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
+                maybe_fetch):
+    """Merge-fill: two-pointer walk of input groups vs this tile's 128
+    output groups.  scal: [n_in_groups]; SMEM carries persist across the
+    sequential grid: [ig, window_base] + [Fcarry].  ``read_rows(ig_safe,
+    need)`` yields the (st, dv, val) (1, 128) rows of input group
+    ``ig_safe``; ``maybe_fetch(need, wb)`` makes that group resident."""
+    t = pl.program_id(0)
+    n_groups = scal_ref[0]          # total input row-groups (i32)
+    tile_base = t * (_OUT_GROUPS * _LANES)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0] = 0     # ig
+        carry_ref[1] = -1    # window_base: none loaded
+        fcarry_ref[0] = 0.0  # telescoped value carry
+
+    ones_col = jnp.ones((_LANES, 1), jnp.float32)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+
+    fc0 = fcarry_ref[0]
+
+    def body(state):
+        og, ig, wb, fc, acc_col, acc = state
+        # ensure group ig is resident (each window holds _W groups); never
+        # fetch past the end when all inputs are consumed
+        in_range = ig < n_groups
+        need = jnp.where(in_range, ig // _W, wb)
+        maybe_fetch(need, wb)
+        safe_loc = jnp.where(in_range, ig - need * _W, 0)
+        st_row, dv_row, val_row = read_rows(safe_loc, need)
+
+        slot_lo = tile_base + og * _LANES
+        slot_col = slot_lo + sub_iota                 # (128, 1)
+        # (128 slots, 128 inputs): input j contributes dv_j to slots >= st_j
+        cmp = jax.lax.broadcast_in_dim(
+            st_row, (_LANES, _LANES), (0, 1)
+        ) <= jax.lax.broadcast_in_dim(slot_col, (_LANES, _LANES), (0, 1))
+        contrib_mat = jnp.where(
+            cmp & in_range,
+            jax.lax.broadcast_in_dim(dv_row, (_LANES, _LANES), (0, 1)),
+            0.0,
+        )
+        # lane reduction on the MXU by an all-ones vector.  One default
+        # (bf16) pass truncates dv and skews the telescoped sums by ~0.4%,
+        # HIGHEST costs 6 passes (Mosaic lacks HIGH/bf16x3), so split the
+        # operand into an exact bf16 hi part + a bf16 residual: two default
+        # passes, error ~1.6e-5 relative — below f32 prefix rounding.
+        mat_hi = contrib_mat.astype(jnp.bfloat16).astype(jnp.float32)
+        mat_lo = contrib_mat - mat_hi
+        dims = (((1,), (0,)), ((), ()))
+        contrib = jax.lax.dot_general(
+            mat_hi, ones_col, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            mat_lo, ones_col, dims, preferred_element_type=jnp.float32
+        )                                             # (128, 1)
+
+        group_max = jnp.max(st_row)
+        consume = in_range & (group_max <= slot_lo + (_LANES - 1))
+
+        last_val = jnp.max(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                == _LANES - 1,
+                val_row, -jnp.inf,
+            )
+        )
+        new_fc = jnp.where(consume, last_val, fc)
+        # close og when the current group straddles past this output group:
+        # its slots take the accumulated column + the straddler's partial
+        out_col = acc_col + contrib
+        new_acc = jax.lax.cond(
+            consume,
+            lambda a: a,
+            lambda a: jnp.where(
+                lane_iota == og,
+                jax.lax.broadcast_in_dim(out_col, (_LANES, _LANES), (0, 1)),
+                a,
+            ),
+            acc,
+        )
+        new_acc_col = jnp.where(
+            consume, acc_col + contrib, jnp.full((_LANES, 1), new_fc)
+        )
+        new_ig = jnp.where(consume, ig + 1, ig)
+        new_og = jnp.where(consume, og, og + 1)
+        return new_og, new_ig, need, new_fc, new_acc_col, new_acc
+
+    def cond(state):
+        og = state[0]
+        return og < _OUT_GROUPS
+
+    init = (
+        jnp.int32(0),
+        carry_ref[0],
+        carry_ref[1],
+        fc0,
+        jnp.full((_LANES, 1), fc0),
+        jnp.zeros((_LANES, _LANES), jnp.float32),
+    )
+    og, ig, wb, fc, acc_col, acc = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = acc
+    carry_ref[0] = ig
+    carry_ref[1] = wb
+    fcarry_ref[0] = fc
+
+
+def _pass2_kernel_dma(scal_ref, st_hbm, dv_hbm, vals_hbm, out_ref,
+                      st_win, dv_win, val_win, sems, carry_ref, fcarry_ref,
+                      acc_ref):
+    """Production pass 2: inputs stay in HBM, windows DMA'd on demand."""
+
+    def maybe_fetch(need, wb):
+        @pl.when(need != wb)
+        def _():
+            cps = [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(need * _W, _W), :], win, sems.at[slot]
+                )
+                for slot, (hbm, win) in enumerate(
+                    ((st_hbm, st_win), (dv_hbm, dv_win), (vals_hbm, val_win))
+                )
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+    def read_rows(loc, need):
+        return (
+            st_win[pl.ds(loc, 1), :],
+            dv_win[pl.ds(loc, 1), :],
+            val_win[pl.ds(loc, 1), :],
+        )
+
+    _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
+                maybe_fetch)
+
+
+def _pass2_kernel_vmem(scal_ref, st_ref, dv_ref, vals_ref, out_ref,
+                       carry_ref, fcarry_ref):
+    """Whole-array-in-VMEM pass 2 (no DMA): used in interpret mode, where
+    the interpreter's emulation of conditionally-issued DMAs inside a while
+    loop drops ~0.1% of window updates (hardware executes them exactly; see
+    tests/test_pallas_resample.py)."""
+
+    def maybe_fetch(need, wb):
+        pass
+
+    def read_rows(loc, need):
+        glob = need * _W + loc
+        return (
+            st_ref[pl.ds(glob, 1), :],
+            dv_ref[pl.ds(glob, 1), :],
+            vals_ref[pl.ds(glob, 1), :],
+        )
+
+    _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
+                maybe_fetch)
+
+
+def _pass1(u0, log_w, states, interpret: bool = False):
+    """Start slots + value diffs (one streaming sweep).  Exposed separately
+    so tests can check pass 2 against an exact expansion of pass 1's own
+    (f32-arithmetic) start slots."""
+    n = states.shape[0]
+    r = n // _LANES
+    lw2 = log_w.reshape(r, _LANES)
+    v2 = states.reshape(r, _LANES)
+
+    m = jnp.max(log_w)
+    wtot = jnp.sum(jnp.exp(log_w - m))
+    scal1 = jnp.stack([
+        m, 1.0 / wtot, jnp.asarray(u0, jnp.float32), jnp.float32(n),
+    ])
+    blk = lambda: pl.BlockSpec((_W, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pass1_kernel,
+        grid=(r // _W,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(), blk()],
+        out_specs=[blk(), blk()],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((3,), jnp.float32)],
+        interpret=interpret,
+    )(scal1, lw2, v2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _streaming_resample(u0, log_w, states, interpret: bool = False):
+    n = states.shape[0]
+    r = n // _LANES
+    v2 = states.reshape(r, _LANES)
+    st, dv = _pass1(u0, log_w, states, interpret=interpret)
+
+    # ---- pass 2: merge-fill ----
+    n_out_tiles = r // _OUT_GROUPS
+    if interpret:
+        # whole arrays as VMEM inputs — see _pass2_kernel_vmem
+        kernel, in_space, scratch = (
+            _pass2_kernel_vmem,
+            pltpu.VMEM,
+            [
+                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),
+            ],
+        )
+    else:
+        kernel, in_space, scratch = (
+            _pass2_kernel_dma,
+            pltpu.ANY,
+            [
+                pltpu.VMEM((_W, _LANES), jnp.int32),
+                pltpu.VMEM((_W, _LANES), jnp.float32),
+                pltpu.VMEM((_W, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),
+                pltpu.VMEM((_LANES, _LANES), jnp.float32),
+            ],
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_out_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=in_space),
+            pl.BlockSpec(memory_space=in_space),
+            pl.BlockSpec(memory_space=in_space),
+        ],
+        out_specs=pl.BlockSpec((_OUT_GROUPS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(jnp.asarray([r], jnp.int32), st, dv, v2)
+    return out.reshape(n)
+
+
+def streaming_available(n: int) -> bool:
+    return n % (_W * _LANES) == 0 and n % (_OUT_GROUPS * _LANES) == 0
+
+
+def streaming_systematic_resample_values(key, log_weights, states,
+                                         interpret: bool = False):
+    """Systematic resampling of a scalar f32 population; returns the new
+    state values under a fixed slot enumeration (see module docstring).
+    Drop-in alternative to ``sorted_systematic_resample_values`` when
+    ``streaming_available(n)``."""
+    u0 = jax.random.uniform(key, ())
+    return _streaming_resample(u0, log_weights, states, interpret=interpret)

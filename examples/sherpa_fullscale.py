@@ -58,10 +58,15 @@ def main():
     bins = tuple(args.bins)
     vox = bins[0] * bins[1] * bins[2]
 
-    def model(observed):
-        return sherpa_calorimeter_wrapper(
-            observed, n_bins=bins, max_deposits=args.max_deposits
-        )
+    def make_model(tol_scale):
+        def model(observed):
+            return sherpa_calorimeter_wrapper(
+                observed, n_bins=bins, max_deposits=args.max_deposits,
+                abc_tolerance_scale=tol_scale,
+            )
+        return model
+
+    model = make_model(1.0)
 
     def observed_for(ch):
         tr = handlers.TraceHandler()
@@ -87,7 +92,7 @@ def main():
         jax.random.key(0), steps=args.steps, batch_size=args.batch_size,
         unroll=10, learning_rate=args.lr,
     )
-    jax.block_until_ready(losses)
+    losses = np.asarray(losses)  # host transfer closes the timed region
     train_s = time.perf_counter() - t0
     traces = args.steps * args.batch_size
     tps = traces / train_s
@@ -96,25 +101,68 @@ def main():
     print(f"loss {float(losses[0]):.3f} -> "
           f"{float(np.asarray(losses)[-10:].mean()):.3f}")
 
+    # Amortization evidence, not just throughput (VERDICT r2 item 5): at the
+    # exact counting tolerance the 25k-voxel ABC log-likelihood spread is
+    # thousands of nats, so BOTH proposals degenerate to ESS ~ 1 and the
+    # guided advantage is invisible.  Sweep the ABC kernel bandwidth
+    # (tolerance scale) and report guided-vs-prior ESS ratios + posterior
+    # quality per channel at each bandwidth; the trained proposal is shared
+    # (it was trained on prior traces — the bandwidth only enters the
+    # observe weight, not the trace law).
+    from cpprob_tpu.models.sherpa import CHANNEL_MOMENTA
+
+    def mom_truth(ch):
+        active = (np.arange(4) <= ch)[:, None]
+        return (np.asarray(CHANNEL_MOMENTA)[:, :3] * active).sum(axis=0)
+
+    tol_scales = [1.0, 8.0, 32.0]
+    # one engine per bandwidth, sharing the trained parameters (identical
+    # site structure — the bandwidth only changes the observe weight)
+    engines = {
+        s: CSIS(make_model(s), (jnp.zeros(vox),), embedding_dim=64,
+                obs_embedding="cnn3d", obs_shape=bins)
+        for s in tol_scales
+    }
     rows = []
     wins = 0
     for ch in range(4):
         obs = observed_for(ch)
-        g = eng.infer(params, (obs,), args.particles, jax.random.key(ch))
-        p = ct.sis(model, (obs,), args.particles, jax.random.key(ch))
-        pg, pp = chpost(g), chpost(p)
-        agree = int(pg.argmax()) == int(pp.argmax())
-        wins += agree
-        rows.append({
-            "channel": ch,
-            "guided_posterior": [round(float(x), 4) for x in pg],
-            "prior_posterior": [round(float(x), 4) for x in pp],
-            "guided_ess": round(float(g.ess), 1),
-            "prior_ess": round(float(p.ess), 1),
-            "guided_matches_exact_argmax": agree,
-        })
-        print(f"ch {ch}: guided {np.round(pg, 3)} prior {np.round(pp, 3)} "
-              f"ess {float(g.ess):.0f}/{float(p.ess):.0f}")
+        truth = mom_truth(ch)
+        per_scale = []
+        for s in tol_scales:
+            mdl = make_model(s)
+            g = engines[s].infer(params, (obs,), args.particles,
+                                 jax.random.key(17 * ch + 1))
+            p = ct.sis(mdl, (obs,), args.particles,
+                       jax.random.key(17 * ch + 2))
+            pg, pp = chpost(g), chpost(p)
+            mg = np.array([float(g.empirical(f"Momentum {a}").mean)
+                           for a in "XYZ"])
+            mp = np.array([float(p.empirical(f"Momentum {a}").mean)
+                           for a in "XYZ"])
+            per_scale.append({
+                "tolerance_scale": s,
+                "guided_posterior": [round(float(x), 4) for x in pg],
+                "prior_posterior": [round(float(x), 4) for x in pp],
+                "guided_ess": round(float(g.ess), 2),
+                "prior_ess": round(float(p.ess), 2),
+                "ess_ratio": round(float(g.ess) / max(float(p.ess), 1e-9), 2),
+                "guided_momentum_mean": [round(float(x), 3) for x in mg],
+                "prior_momentum_mean": [round(float(x), 3) for x in mp],
+                "true_momentum": [round(float(x), 3) for x in truth],
+                "guided_momentum_abs_err": round(
+                    float(np.abs(mg - truth).sum()), 3),
+                "prior_momentum_abs_err": round(
+                    float(np.abs(mp - truth).sum()), 3),
+                "guided_channel_correct": bool(pg.argmax() == ch),
+            })
+            print(f"ch {ch} tol {s:>4}: guided {np.round(pg, 3)} "
+                  f"ess {float(g.ess):.1f}/{float(p.ess):.1f} "
+                  f"(x{per_scale[-1]['ess_ratio']}) "
+                  f"|dp| {per_scale[-1]['guided_momentum_abs_err']:.2f}"
+                  f"/{per_scale[-1]['prior_momentum_abs_err']:.2f}")
+        wins += int(per_scale[0]["guided_channel_correct"])
+        rows.append({"channel": ch, "by_tolerance": per_scale})
 
     payload = {
         "experiment": "sherpa_fullscale_cnn3d_csis",
@@ -129,7 +177,12 @@ def main():
                   "loss_first": float(losses[0]),
                   "loss_last": float(np.asarray(losses)[-10:].mean())},
         "channel_recovery": rows,
-        "guided_matches_exact_argmax_count": wins,
+        "tolerance_scales": tol_scales,
+        "abc_note": "tolerance_scale multiplies the per-voxel ABC std (the "
+                    "kernel bandwidth); scale 1 = exact counting variance, "
+                    "where the 25k-voxel spread degenerates BOTH proposals "
+                    "to ESS~1 (see models/sherpa.py docstring)",
+        "guided_channel_correct_count_at_scale1": wins,
     }
     if args.out:
         with open(args.out, "w") as f:

@@ -112,8 +112,11 @@ class TestSherpaCNN3DGuided:
             calo_model, (jnp.zeros(VOX),),
             embedding_dim=32, obs_embedding="cnn3d", obs_shape=BINS,
         )
+        # 900 steps: the hadronic channel-3 product (pdg 211, deeper/noisier
+        # shower) needs more training than the all-EM source did for the
+        # CNN3D net to separate it (loss ~5.5 -> ~0.17)
         params, losses = eng.compile(
-            jax.random.key(0), steps=500, batch_size=64, unroll=10,
+            jax.random.key(0), steps=900, batch_size=64, unroll=10,
             learning_rate=2e-3,
         )
         return eng, params, losses
