@@ -29,6 +29,10 @@ examples:
 	$(CPU_ENV) $(PY) examples/calo_variance.py -n 4
 	$(CPU_ENV) $(PY) examples/sherpa_gen.py -n 2 --out /tmp/sherpa_smoke
 	$(CPU_ENV) $(PY) examples/sherpa_fullscale.py --quick
+	$(CPU_ENV) $(PY) examples/external_simulator.py --traces 300 \
+	    --particles 64 --out /tmp/external_smoke.json
+	$(CPU_ENV) $(PY) examples/posterior_parse_bench.py --particles 16384 \
+	    --out /tmp/parse_smoke.json
 
 bench-quick:
 	$(PY) bench.py --quick

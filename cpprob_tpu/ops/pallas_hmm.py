@@ -630,21 +630,30 @@ def _make_lg_chunk_kernel(n_steps: int, hw_prng: bool):
         n_valid = ctrl_ref[0]
         x = states_ref[:]
         w = logw_ref[:]
+        eps_next = None
         for t in range(n_steps):
-            if hw_prng:
-                b1 = pltpu.bitcast(
-                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
-                )
-                b2 = pltpu.bitcast(
-                    pltpu.prng_random_bits(states_ref.shape), jnp.uint32
-                )
-                u1 = _uniform_from_bits(b1)
-                u2 = _uniform_from_bits(b2)
+            # Box-Muller emits a cos/sin PAIR per (u1, u2): one draw + one
+            # (log, sqrt, cos, sin) set feeds TWO steps — the transcendentals
+            # dominate this kernel, so pairing nearly halves it
+            if t % 2 == 0:
+                if hw_prng:
+                    b1 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+                    )
+                    b2 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.uint32
+                    )
+                    u1 = _uniform_from_bits(b1)
+                    u2 = _uniform_from_bits(b2)
+                else:
+                    u1 = jnp.full(states_ref.shape, 0.5, jnp.float32)
+                    u2 = jnp.zeros(states_ref.shape, jnp.float32)
+                r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                ang = 2.0 * jnp.pi * u2
+                eps = r * jnp.cos(ang)
+                eps_next = r * jnp.sin(ang)
             else:
-                u1 = jnp.full(states_ref.shape, 0.5, jnp.float32)
-                u2 = jnp.zeros(states_ref.shape, jnp.float32)
-            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-            eps = r * jnp.cos(2.0 * jnp.pi * u2)
+                eps = eps_next
             nx = x + eps
             y = ys_ref[t]
             d = y - nx

@@ -454,18 +454,25 @@ def _make_scalar_chunk_kernel(step_elem: Callable, n_steps: int, hw_prng: bool):
         n_valid = ctrl_ref[0]
         x = states_ref[:]
         w = logw_ref[:]
+        eps_next = None
         for t in range(n_steps):
             if hw_prng:
-                b1 = pltpu.bitcast(
-                    pltpu.prng_random_bits(states_ref.shape), jnp.int32
-                )
-                b2 = pltpu.bitcast(
-                    pltpu.prng_random_bits(states_ref.shape), jnp.int32
-                )
-                u1 = _uniform16(b1, 0) + (0.5 / 65536.0)
-                u2 = _uniform16(b2, 0)
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                eps = r * jnp.cos(2.0 * jnp.pi * u2)
+                # Box-Muller yields a cos/sin PAIR per (u1, u2) draw; use
+                # both — the transcendentals (log, sqrt, cos, sin) are the
+                # dominant per-step VPU cost, so pairing nearly halves the
+                # whole chunk kernel for Gaussian-driven models
+                if t % 2 == 0:
+                    b1 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                    )
+                    u1 = _uniform16(b1, 0) + (0.5 / 65536.0)
+                    u2 = _uniform16(b1, 1)
+                    r = jnp.sqrt(-2.0 * jnp.log(u1))
+                    ang = 2.0 * jnp.pi * u2
+                    eps = r * jnp.cos(ang)
+                    eps_next = r * jnp.sin(ang)
+                else:
+                    eps = eps_next
             else:
                 eps = jnp.zeros(states_ref.shape, jnp.float32)
             nx, log_emit = step_elem(x, ys_ref[t], eps)

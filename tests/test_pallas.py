@@ -209,23 +209,25 @@ def test_chunk_kernel_interpret_masking_and_synthesis():
 
 
 def test_lg_chunk_kernel_interpret():
-    """Interpret mode: u1=0.5, u2=0 => eps = sqrt(-2 ln 0.5) deterministic;
-    chunk accumulates the random walk and per-step emission logpdfs."""
+    """Interpret mode: u1=0.5, u2=0 => the Box-Muller pair is
+    (sqrt(-2 ln 0.5) * cos 0, sqrt(-2 ln 0.5) * sin 0) = (1.177..., 0),
+    alternating across steps (the kernel consumes both halves of each
+    draw); chunk accumulates the walk + per-step emission logpdfs."""
     from cpprob_tpu.ops.pallas_hmm import pallas_lg_fused_chunk
 
     n = 128 * 256
     x0 = jnp.linspace(-0.5, 0.5, n)
     logw = jnp.zeros((n,))
     ys = jnp.asarray([0.2, -0.1, 0.4], jnp.float32)
-    eps = np.sqrt(-2.0 * np.log(0.5))
+    eps_pair = [np.sqrt(-2.0 * np.log(0.5)), 0.0]
 
     s, w, ess = pallas_lg_fused_chunk(
         jnp.int32(0), x0, logw, ys, jnp.int32(3), n_steps=3, interpret=True,
     )
     x = np.asarray(x0, np.float64)
     want_w = np.zeros(n)
-    for y in np.asarray(ys):
-        x = x + eps
+    for t, y in enumerate(np.asarray(ys)):
+        x = x + eps_pair[t % 2]
         want_w += -0.5 * (y - x) ** 2 - 0.9189385332046727
     np.testing.assert_allclose(np.asarray(s), x, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(w), want_w, rtol=1e-4, atol=1e-4)
@@ -234,7 +236,7 @@ def test_lg_chunk_kernel_interpret():
     s1, w1, _ = pallas_lg_fused_chunk(
         jnp.int32(0), x0, logw, ys, jnp.int32(1), n_steps=3, interpret=True,
     )
-    x1 = np.asarray(x0) + eps
+    x1 = np.asarray(x0) + eps_pair[0]
     np.testing.assert_allclose(np.asarray(s1), x1, rtol=1e-5)
 
 
