@@ -252,7 +252,8 @@ def _synthetic_tau_decay():
 def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
                                max_deposits: int = _MAX_DEPOSITS,
                                abc_variance: str = "poisson",
-                               abc_tolerance_scale: float = 1.0):
+                               abc_tolerance_scale: float = 1.0,
+                               abc_temper: float = 1.0):
     """Full SHERPA-model structure (``sherpa.cpp:49-68``): simulate the decay,
     run the calorimeter, **ABC-observe** the voxel histogram (dirac sampler +
     MVN approximate logpdf), predict channel + mother momentum.
@@ -275,9 +276,17 @@ def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
     bandwidth*.  At bandwidth 1 the exact counting tolerance over ~25k
     voxels makes the summed log-likelihood spread thousands of nats, so one
     particle carries all the weight (ESS ~ 1) no matter how good the
-    proposal is; widening the kernel trades posterior sharpness for a
-    usable importance distribution (standard ABC practice — the reference's
-    own Var = value is itself an uncalibrated bandwidth choice).
+    proposal is.  NB widening is value-dependent (sigma ~ sqrt(sim)), so
+    large scales bias the kernel's normalizer toward low-deposit templates
+    — it changes the posterior, not just its sharpness.
+
+    ``abc_temper`` divides the whole ABC log-kernel (a power posterior,
+    standard ABC/SMC tempering).  Unlike bandwidth widening this is a
+    monotone transform of each template's likelihood: the ranking of
+    simulated templates against the observation — and hence the posterior
+    mode structure — is preserved EXACTLY at any temperature, while the
+    log-weight spread shrinks by the same factor, turning the degenerate
+    ESS~1 regime into a usable importance distribution.
     """
     channel, mother, particles = _synthetic_tau_decay()
     calo = calo_simulation(particles, n_bins=n_bins, max_deposits=max_deposits)
@@ -290,9 +299,12 @@ def sherpa_calorimeter_wrapper(observed_histo, n_bins=(_NBINX, _NBINY, _NBINZ),
         raise ValueError(f"unknown abc_variance {abc_variance!r}")
     std = std * abc_tolerance_scale
     approx = MultivariateNormalDiag(flat, std)
+    inv_temper = 1.0 / abc_temper
     abc = make_abc(
         sampler=lambda key: flat,
-        logpdf_fn=lambda x: approx.log_prob(jnp.ravel(jnp.asarray(x, jnp.float32))),
+        logpdf_fn=lambda x: inv_temper * approx.log_prob(
+            jnp.ravel(jnp.asarray(x, jnp.float32))
+        ),
     )
     observe(abc, observed_histo, addr="calo")
     predict(channel, "Decay Channel")

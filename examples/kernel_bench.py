@@ -42,6 +42,22 @@ STDS5 = np.array([0.5, 1.0, 0.7, 1.2, 0.9])
 INIT5 = np.array([0.3, 0.1, 0.2, 0.2, 0.2])
 
 
+SWEEPS = 8  # sweeps scanned inside one jitted call: amortizes the ~24 ms
+            # host dispatch+fetch latency of the remote TPU tunnel
+
+
+def make_multi_sweep(run_one, obs):
+    def multi(key):
+        keys = jax.random.split(key, SWEEPS)
+
+        def body(_, k):
+            return None, run_one(k, obs).log_evidence
+
+        _, lz = jax.lax.scan(body, None, keys)
+        return lz
+    return multi
+
+
 def timed(fn, key_base, iters=5):
     fn(jax.random.key(key_base))  # compile+warm (result fetched inside)
     ts = []
@@ -66,7 +82,6 @@ def main():
     )
     from cpprob_tpu.inference.smc import build_smc_run
     from cpprob_tpu.models.linear_gaussian import kalman_filter_1d
-    from cpprob_tpu.ops.pallas_hmm import make_pallas_lg_ssm
     from cpprob_tpu.ops.pallas_resample import _streaming_resample
     from cpprob_tpu.ops.pallas_ssm import (
         discrete_hmm_log_evidence,
@@ -90,14 +105,15 @@ def main():
     ys5 = jnp.asarray(np.array(ys5), jnp.float32)
     exact5 = discrete_hmm_log_evidence(TRANS5, MEANS5, STDS5, INIT5, ys5)
     ssm5 = make_fused_discrete_ssm(TRANS5, MEANS5, STDS5, INIT5)
-    run5 = jax.jit(build_smc_run(ssm5, N, chunk=8, store_history=False))
+    run5_one = build_smc_run(ssm5, N, chunk=8, store_history=False)
+    run5 = jax.jit(make_multi_sweep(run5_one, ys5))
     lzs = []
 
     def go5(key):
-        r = run5(key, ys5)
-        lzs.append(float(np.asarray(r.log_evidence)))
+        lz = run5(key)
+        lzs.extend(np.asarray(lz).tolist())
 
-    dt5 = timed(go5, 0, iters=8)
+    dt5 = timed(go5, 0, iters=8) / SWEEPS
     out["discrete_5state_spec_kernel"] = {
         "particle_steps_per_s": N * T / dt5,
         "sweep_s": dt5,
@@ -111,24 +127,49 @@ def main():
           f"logZ {np.mean(lzs):.4f} vs exact {exact5:.4f}", file=sys.stderr)
 
     # --- 2. linear-Gaussian with live resampling (streaming epoch) ---------
+    # built through the generic scalar builder (user-supplied elementwise
+    # physics), NOT the hand-written ops/pallas_hmm LG kernel
+    from cpprob_tpu.models.linear_gaussian import linear_gaussian_ssm
+    from cpprob_tpu.ops.pallas_ssm import attach_fused_scalar_kernels
+
+    half_log_2pi = 0.9189385332046727
+
+    def lg_step_elem(x, y, eps):
+        nx = x + eps
+        d = y - nx
+        return nx, -0.5 * d * d - half_log_2pi
+
     ys = jax.random.normal(jax.random.key(7), (T,)) * 1.5
-    lg = make_pallas_lg_ssm()
-    runlg = jax.jit(build_smc_run(lg, N, chunk=8, store_history=False))
+    lg = attach_fused_scalar_kernels(linear_gaussian_ssm, lg_step_elem)
+    runlg_one = build_smc_run(lg, N, chunk=8, store_history=False)
     res_holder = {}
 
-    def golg(key):
-        r = runlg(key, ys)
-        res_holder["lz"] = float(np.asarray(r.log_evidence))
-        res_holder["epochs"] = int(np.asarray(r.resampled).sum())
+    def multi_lg(key):
+        keys = jax.random.split(key, SWEEPS)
 
-    dtlg = timed(golg, 100)
+        def body(_, k):
+            r = runlg_one(k, ys)
+            return None, (r.log_evidence, r.resampled.sum())
+
+        _, (lz, ep) = jax.lax.scan(body, None, keys)
+        return lz, ep
+
+    runlg = jax.jit(multi_lg)
+
+    def golg(key):
+        lz, ep = runlg(key)
+        res_holder["lz"] = float(np.asarray(lz).mean())
+        res_holder["epochs"] = float(np.asarray(ep).mean())
+
+    dtlg = timed(golg, 100) / SWEEPS
     _, _, ll = kalman_filter_1d(ys)
     out["linear_gaussian_live_resampling"] = {
         "particle_steps_per_s": N * T / dtlg,
         "sweep_s": dtlg,
-        "resample_epochs": res_holder["epochs"],
-        "log_evidence": res_holder["lz"],
+        "resample_epochs_mean": res_holder["epochs"],
+        "log_evidence_mean": res_holder["lz"],
         "kalman_log_evidence": float(np.asarray(ll)),
+        "sweeps_per_call": SWEEPS,
         "epoch_resampler": "streaming Pallas merge (ops/pallas_resample.py)",
     }
     print(f"LG live-resample: {N*T/dtlg/1e9:.2f} G steps/s "

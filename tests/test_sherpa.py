@@ -83,6 +83,29 @@ class TestCalorimeter:
         assert "Decay Channel" in res.predicts
         assert "Momentum X" in res.predicts
 
+    def test_abc_temper_scales_log_weights_exactly(self, key):
+        """abc_temper is a power posterior: log-weights divide by tau
+        exactly, so template ranking (and channel recovery) is invariant."""
+        with handlers.Seed(jax.random.key(5)):
+            obs_hist = calo_simulation(
+                np.array([[1, 0.1, 3, 5, 0.2, 0.1, 211, 1]], np.float32)
+            )
+
+        def m1(obs):
+            return sherpa_calorimeter_wrapper(obs, abc_temper=1.0)
+
+        def m50(obs):
+            return sherpa_calorimeter_wrapper(obs, abc_temper=50.0)
+
+        r1 = ct.sis(m1, (np.asarray(obs_hist),), 64, key)
+        r50 = ct.sis(m50, (np.asarray(obs_hist),), 64, key)
+        np.testing.assert_allclose(
+            np.asarray(r50.log_weights),
+            np.asarray(r1.log_weights) / 50.0,
+            rtol=1e-5, atol=1e-5,
+        )
+        assert float(r50.ess) > float(r1.ess)
+
 
 class TestObsEmbeddings:
     def _tiny_model(self):
