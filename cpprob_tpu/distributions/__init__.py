@@ -30,7 +30,7 @@ from .discrete import (
     Poisson,
     UniformInt,
 )
-from .compound import ABC, Dirac, Mixture, Truncated, make_abc
+from .compound import ABC, DefensiveMixture, Dirac, Mixture, Truncated, make_abc
 from .flow import SplineFlow1D
 
 __all__ = [
@@ -60,6 +60,7 @@ __all__ = [
     "Truncated",
     "Dirac",
     "ABC",
+    "DefensiveMixture",
     "make_abc",
     "SplineFlow1D",
 ]

@@ -23,7 +23,7 @@ from jax.scipy import special as jsp_special
 
 from .base import Distribution, dist_dataclass, promote_to_result_dtype
 
-__all__ = ["Mixture", "Truncated", "Dirac", "ABC"]
+__all__ = ["Mixture", "Truncated", "Dirac", "ABC", "DefensiveMixture"]
 
 
 @dist_dataclass
@@ -207,3 +207,37 @@ class ABC(Distribution):
 def make_abc(sampler, logpdf_fn):
     """Counterpart of ``cpprob::make_abc`` (``abc.hpp``)."""
     return ABC(sampler, logpdf_fn)
+
+
+@dist_dataclass
+class DefensiveMixture(Distribution):
+    """Two-component defensive mixture over arbitrary (different-family)
+    distributions: ``(1-lam) * proposal + lam * anchor``.
+
+    The classic defensive-importance-sampling construction (Hesterberg
+    1995): mixing a learned proposal with the prior bounds the importance
+    weights by ``prior/...  <= 1/lam`` at any point the proposal
+    under-covers, trading a (1-lam) efficiency factor for robustness to
+    proposal over-confidence — e.g. an amortized inverse model serving a
+    tempered (wider-than-trained) posterior.  Unlike :class:`Mixture` the
+    two components need not share a family or parameter pytree."""
+
+    proposal: Any
+    anchor: Any
+    lam: Any  # mixing weight on the anchor, in (0, 1)
+
+    def sample(self, key, sample_shape=()):
+        k_choice, k_p, k_a = jax.random.split(key, 3)
+        pick_anchor = (
+            jax.random.uniform(k_choice, sample_shape) < self.lam
+        )
+        a = self.anchor.sample(k_a, sample_shape)
+        p = self.proposal.sample(k_p, sample_shape)
+        return jnp.where(pick_anchor, a, p)
+
+    def log_prob(self, x):
+        lam = jnp.asarray(self.lam, jnp.float32)
+        return jnp.logaddexp(
+            jnp.log1p(-lam) + self.proposal.log_prob(x),
+            jnp.log(lam) + self.anchor.log_prob(x),
+        )

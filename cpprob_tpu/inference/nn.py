@@ -140,10 +140,18 @@ def conv3d_init(key, channels=(1, 4, 8), kernel: int = 3, out_dim: int = EMBEDDI
 
 
 def conv3d_apply(params, vol):
-    """``vol``: (..., D, H, W) -> (..., out_dim).  SAME conv stack + ReLU, then
-    global average pool and a dense head."""
+    """``vol``: (..., D, H, W) -> (..., out_dim).  Per-volume standardization,
+    SAME conv stack + ReLU, global average pool, dense head.
+
+    The standardization is load-bearing at calorimeter scale: raw deposits
+    are O(0.005-0.1) GeV spread over tens of thousands of mostly-zero
+    voxels, so without it the mean-pooled activations (and their gradients)
+    vanish and training plateaus at the prior (loss = ln K exactly)."""
     batch_shape = vol.shape[:-3]
     x = vol.reshape((-1, 1) + vol.shape[-3:])  # (N, C=1, D, H, W)
+    mu = jnp.mean(x, axis=(-3, -2, -1), keepdims=True)
+    sd = jnp.std(x, axis=(-3, -2, -1), keepdims=True)
+    x = (x - mu) / (sd + 1e-6)
     for conv in params["convs"]:
         x = jax.lax.conv_general_dilated(
             x, conv["w"], window_strides=(1, 1, 1), padding="SAME",

@@ -116,7 +116,7 @@ def main():
         active = (np.arange(4) <= ch)[:, None]
         return (np.asarray(CHANNEL_MOMENTA)[:, :3] * active).sum(axis=0)
 
-    tol_scales = [1.0, 100.0, 300.0, 1000.0, 3000.0]
+    tol_scales = [1.0, 3.0, 10.0, 30.0, 100.0]
     rows = []
     wins = 0
     for ch in range(4):

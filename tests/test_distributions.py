@@ -294,3 +294,31 @@ class TestExtendedDistributions:
         xs = np.asarray(dist.sample(key, (200_000,)))
         np.testing.assert_allclose(xs.mean(0), loc, atol=0.02)
         np.testing.assert_allclose(np.cov(xs.T), cov, atol=0.03)
+
+
+class TestDefensiveMixture:
+    def test_log_prob_and_bounded_weights(self, key):
+        from cpprob_tpu.distributions import DefensiveMixture, Normal, Uniform
+
+        prop = Normal(2.0, 0.05)         # over-confident proposal
+        anchor = Uniform(0.0, 4.0)       # prior
+        d = DefensiveMixture(prop, anchor, 0.25)
+        xs = jnp.linspace(0.1, 3.9, 64)
+        want = np.logaddexp(
+            np.log(0.75) + np.asarray(prop.log_prob(xs)),
+            np.log(0.25) + np.asarray(anchor.log_prob(xs)),
+        )
+        np.testing.assert_allclose(np.asarray(d.log_prob(xs)), want, rtol=1e-5)
+        # defensive bound: prior/q <= 1/lam everywhere
+        ratio = np.exp(np.asarray(anchor.log_prob(xs)) - np.asarray(d.log_prob(xs)))
+        assert ratio.max() <= 1.0 / 0.25 + 1e-3
+
+    def test_sampling_mixes(self, key):
+        from cpprob_tpu.distributions import DefensiveMixture, Normal, Uniform
+
+        d = DefensiveMixture(Normal(2.0, 0.05), Uniform(0.0, 4.0), 0.5)
+        xs = np.asarray(d.sample(key, (20_000,)))
+        # half the mass is a tight spike at 2, half uniform on [0,4]
+        frac_spike = np.mean(np.abs(xs - 2.0) < 0.2)
+        assert 0.5 < frac_spike < 0.62
+        assert xs.min() < 0.5 and xs.max() > 3.5
