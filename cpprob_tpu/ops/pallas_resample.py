@@ -159,7 +159,7 @@ def _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
     fc0 = fcarry_ref[0]
 
     def body(state):
-        og, ig, wb, fc, acc_col, acc = state
+        og, ig, wb, fc, acc_col = state
         # ensure group ig is resident (each window holds _W groups); never
         # fetch past the end when all inputs are consumed
         in_range = ig < n_groups
@@ -205,24 +205,27 @@ def _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
         )
         new_fc = jnp.where(consume, last_val, fc)
         # close og when the current group straddles past this output group:
-        # its slots take the accumulated column + the straddler's partial
+        # its slots take the accumulated column + the straddler's partial.
+        # The output tile is VMEM-resident for the whole grid step, so the
+        # closed column goes straight into out_ref — keeping the (128,128)
+        # accumulator out of the loop carry and the select off the consume
+        # iterations.
         out_col = acc_col + contrib
-        new_acc = jax.lax.cond(
-            consume,
-            lambda a: a,
-            lambda a: jnp.where(
+
+        @pl.when(jnp.logical_not(consume))
+        def _():
+            out_ref[:] = jnp.where(
                 lane_iota == og,
                 jax.lax.broadcast_in_dim(out_col, (_LANES, _LANES), (0, 1)),
-                a,
-            ),
-            acc,
-        )
+                out_ref[:],
+            )
+
         new_acc_col = jnp.where(
-            consume, acc_col + contrib, jnp.full((_LANES, 1), new_fc)
+            consume, out_col, jnp.full((_LANES, 1), new_fc)
         )
         new_ig = jnp.where(consume, ig + 1, ig)
         new_og = jnp.where(consume, og, og + 1)
-        return new_og, new_ig, need, new_fc, new_acc_col, new_acc
+        return new_og, new_ig, need, new_fc, new_acc_col
 
     def cond(state):
         og = state[0]
@@ -234,18 +237,15 @@ def _pass2_body(scal_ref, out_ref, carry_ref, fcarry_ref, read_rows,
         carry_ref[1],
         fc0,
         jnp.full((_LANES, 1), fc0),
-        jnp.zeros((_LANES, _LANES), jnp.float32),
     )
-    og, ig, wb, fc, acc_col, acc = jax.lax.while_loop(cond, body, init)
-    out_ref[:] = acc
+    og, ig, wb, fc, acc_col = jax.lax.while_loop(cond, body, init)
     carry_ref[0] = ig
     carry_ref[1] = wb
     fcarry_ref[0] = fc
 
 
 def _pass2_kernel_dma(scal_ref, st_hbm, dv_hbm, vals_hbm, out_ref,
-                      st_win, dv_win, val_win, sems, carry_ref, fcarry_ref,
-                      acc_ref):
+                      st_win, dv_win, val_win, sems, carry_ref, fcarry_ref):
     """Production pass 2: inputs stay in HBM, windows DMA'd on demand."""
 
     def maybe_fetch(need, wb):
@@ -357,7 +357,6 @@ def _streaming_resample(u0, log_w, states, interpret: bool = False):
                 pltpu.SemaphoreType.DMA((3,)),
                 pltpu.SMEM((3,), jnp.int32),
                 pltpu.SMEM((1,), jnp.float32),
-                pltpu.VMEM((_LANES, _LANES), jnp.float32),
             ],
         )
     out = pl.pallas_call(
