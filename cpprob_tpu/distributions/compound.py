@@ -233,6 +233,13 @@ class DefensiveMixture(Distribution):
         )
         a = self.anchor.sample(k_a, sample_shape)
         p = self.proposal.sample(k_p, sample_shape)
+        # components may carry event dims beyond sample_shape (e.g. MVN):
+        # right-pad the per-draw pick with singleton axes so it broadcasts
+        event_ndim = max(a.ndim, p.ndim) - pick_anchor.ndim
+        if event_ndim > 0:
+            pick_anchor = pick_anchor.reshape(
+                pick_anchor.shape + (1,) * event_ndim
+            )
         return jnp.where(pick_anchor, a, p)
 
     def log_prob(self, x):

@@ -41,6 +41,7 @@ the detector response)::
 
 from __future__ import annotations
 
+import itertools
 import subprocess
 import threading
 from typing import Optional, Sequence
@@ -136,8 +137,11 @@ class SubprocessSimulator:
         return False
 
 
+_salt_counter = itertools.count(1)
+
+
 def observe_external(sim: SubprocessSimulator, inputs, obs_dim: Optional[int]
-                     = None):
+                     = None, *, salt: Optional[int] = None):
     """Run the external simulator from inside traced (jit/vmap) code.
 
     ``inputs``: 1-D f32 array of simulator parameters for ONE event.  Under
@@ -147,10 +151,20 @@ def observe_external(sim: SubprocessSimulator, inputs, obs_dim: Optional[int]
 
     The callback is declared non-differentiable black-box output — exactly
     the reference's contract for wrapped simulators.
+
+    Purity caveat (ADVICE r3): ``jax.pure_callback`` assumes a *pure*
+    function, while real simulators are stochastic.  To stop XLA from
+    CSE-merging two calls with identical inputs into one simulator
+    invocation, every trace-time call is salted with a distinct constant
+    operand (override with ``salt=`` for reproducible program caching).
+    A call whose result is entirely unused may still be elided from the
+    compiled program — do not rely on external side effects of the child.
     """
     obs_dim = sim.obs_dim if obs_dim is None else obs_dim
+    if salt is None:
+        salt = next(_salt_counter) & 0x7FFFFFFF
 
-    def cb(x):
+    def cb(x, _salt):
         x = np.asarray(x)
         if x.ndim == 1:
             return sim.batch(x[None, :])[0]
@@ -162,5 +176,6 @@ def observe_external(sim: SubprocessSimulator, inputs, obs_dim: Optional[int]
         cb,
         jax.ShapeDtypeStruct((obs_dim,), jnp.float32),
         jnp.asarray(inputs, jnp.float32),
+        jnp.int32(salt),
         vmap_method="expand_dims",
     )

@@ -192,7 +192,23 @@ def load_posterior(path: str, native: Optional[bool] = None):
     with open(path + ".ids") as f:
         names = [line.strip() for line in f if line.strip()]
     out = {n: [] for n in names}
-    log_ws = []
+    # In the reference dump format one particle writes one line to EACH of
+    # .int/.real with the SAME log weight (state.cpp:262-267), so when both
+    # files exist the weights must be taken from only one of them — extending
+    # across files would double the weight vector vs the per-predict value
+    # counts (ADVICE r3 medium).
+    log_ws: list = []
+
+    def _merge_log_ws(file_lws):
+        nonlocal log_ws
+        if not log_ws:
+            log_ws = list(file_lws)
+        elif len(file_lws) != len(log_ws):
+            raise ValueError(
+                f"posterior dump {path!r}: .int/.real particle counts differ "
+                f"({len(log_ws)} vs {len(file_lws)})"
+            )
+
     for kind in ("int", "real"):
         fp = f"{path}.{kind}"
         if not os.path.exists(fp):
@@ -204,7 +220,7 @@ def load_posterior(path: str, native: Optional[bool] = None):
         )
         if parsed is not None:
             lws, offsets, ids, values = parsed
-            log_ws.extend(lws.tolist())
+            _merge_log_ws(lws.tolist())
             n = len(lws)
             k = len(ids) // n if n else 0
             if n and k * n == len(ids) and np.array_equal(
@@ -235,18 +251,20 @@ def load_posterior(path: str, native: Optional[bool] = None):
             raise RuntimeError(
                 f"native posterior parser unavailable for {fp!r}"
             )
+        file_lws = []
         with open(fp) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 entries, log_w = parse_value(line)
-                log_ws.append(float(log_w))
+                file_lws.append(float(log_w))
                 per_name = {}
                 for idx, value in entries:
                     per_name.setdefault(idx, []).append(value)
                 for idx, vals in per_name.items():
                     out[names[idx]].append(vals[0] if len(vals) == 1 else vals)
+        _merge_log_ws(file_lws)
     return out, np.asarray(log_ws)
 
 

@@ -75,6 +75,41 @@ def _horner(x, coeffs: np.ndarray):
     return acc
 
 
+def _make_table_lookup(values: np.ndarray):
+    """Build an in-kernel lookup ``s -> values[s]`` for integer-valued f32
+    ``s`` in 0..K-1.
+
+    Prefers the degree-(K-1) interpolating polynomial (K-1 VPU FMAs via
+    Horner), but the Vandermonde-solved coefficients evaluated in f32 become
+    catastrophically inaccurate well below K=32 (measured ~1e-1 node error at
+    K=12).  So the f32 Horner evaluation is *emulated at build time* at every
+    node and checked against the exact table; above tolerance the lookup
+    falls back to a chain of selects — exact at every node, still pure
+    elementwise VPU ops (K compares + K selects vs K-1 FMAs, ~2x the ALU cost
+    but bit-exact at any K)."""
+    values = np.asarray(values, np.float64)
+    k = len(values)
+    if k > 1:
+        coeffs = _poly_coeffs(values)
+        # emulate the in-kernel f32 Horner (same op order, f32 rounding)
+        nodes = np.arange(k, dtype=np.float32)
+        acc = np.full(k, np.float32(coeffs[-1]), np.float32)
+        for c in coeffs[-2::-1]:
+            acc = (acc * nodes).astype(np.float32) + np.float32(c)
+            acc = acc.astype(np.float32)
+        scale = max(1.0, float(np.max(np.abs(values))))
+        if float(np.max(np.abs(acc.astype(np.float64) - values))) <= 1e-5 * scale:
+            return lambda x: _horner(x, coeffs)
+
+    def select_lookup(x):
+        acc = jnp.full_like(x, float(values[k - 1]))
+        for j in range(k - 1):
+            acc = jnp.where(x == float(j), float(values[j]), acc)
+        return acc
+
+    return select_lookup
+
+
 def _emit_partials(part_ref, w, s_f32, K: Optional[int]):
     """Write (max, sum e, sum e^2[, per-category sums]) into lanes 0.. of the
     program's (8, 128) partials block (iota select — no scatter in Mosaic)."""
@@ -139,16 +174,16 @@ def _make_discrete_chunk_kernel(
     partials for the next boundary."""
     K = trans.shape[0]
     cdf = np.cumsum(np.asarray(trans, np.float64), axis=1)  # (K, K)
-    cdf_polys = [_poly_coeffs(cdf[:, k]) for k in range(K - 1)]
-    mean_poly = _poly_coeffs(np.asarray(means, np.float64))
+    cdf_lookups = [_make_table_lookup(cdf[:, k]) for k in range(K - 1)]
+    mean_lookup = _make_table_lookup(np.asarray(means, np.float64))
     stds = np.asarray(stds, np.float64)
     uniform_std = np.allclose(stds, stds[0])
     if uniform_std:
         inv2var = 0.5 / float(stds[0]) ** 2
         lognorm = -float(np.log(stds[0])) - _HALF_LOG_2PI
     else:
-        inv2var_poly = _poly_coeffs(0.5 / stds**2)
-        lognorm_poly = _poly_coeffs(-np.log(stds) - _HALF_LOG_2PI)
+        inv2var_lookup = _make_table_lookup(0.5 / stds**2)
+        lognorm_lookup = _make_table_lookup(-np.log(stds) - _HALF_LOG_2PI)
 
     def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
                out_s_ref, out_w_ref, part_ref):
@@ -180,15 +215,15 @@ def _make_discrete_chunk_kernel(
                 u = jnp.zeros(states_ref.shape, jnp.float32)
             ns = jnp.zeros(states_ref.shape, jnp.float32)
             for k in range(K - 1):
-                ns = ns + (u >= _horner(s, cdf_polys[k])).astype(jnp.float32)
+                ns = ns + (u >= cdf_lookups[k](s)).astype(jnp.float32)
             y = ys_ref[t]
-            d = y - _horner(ns, mean_poly)
+            d = y - mean_lookup(ns)
             if uniform_std:
                 nw = w + (-(d * d) * inv2var + lognorm)
             else:
                 nw = w + (
-                    -(d * d) * _horner(ns, inv2var_poly)
-                    + _horner(ns, lognorm_poly)
+                    -(d * d) * inv2var_lookup(ns)
+                    + lognorm_lookup(ns)
                 )
             valid = t < n_valid
             s = jnp.where(valid, ns, s)
@@ -209,10 +244,10 @@ def _make_discrete_init_kernel(
 ):
     K = len(init_probs)
     icdf = np.cumsum(np.asarray(init_probs, np.float64))
-    mean_poly = _poly_coeffs(np.asarray(means, np.float64))
+    mean_lookup = _make_table_lookup(np.asarray(means, np.float64))
     stds = np.asarray(stds, np.float64)
-    inv2var_poly = _poly_coeffs(0.5 / stds**2)
-    lognorm_poly = _poly_coeffs(-np.log(stds) - _HALF_LOG_2PI)
+    inv2var_lookup = _make_table_lookup(0.5 / stds**2)
+    lognorm_lookup = _make_table_lookup(-np.log(stds) - _HALF_LOG_2PI)
 
     def kernel(seed_ref, y_ref, out_s_ref, out_w_ref, part_ref):
         i = pl.program_id(0)
@@ -227,8 +262,8 @@ def _make_discrete_init_kernel(
         for k in range(K - 1):
             s = s + (u >= float(icdf[k])).astype(jnp.float32)
         y = y_ref[0]
-        d = y - _horner(s, mean_poly)
-        w = -(d * d) * _horner(s, inv2var_poly) + _horner(s, lognorm_poly)
+        d = y - mean_lookup(s)
+        w = -(d * d) * inv2var_lookup(s) + lognorm_lookup(s)
         out_s_ref[:] = s.astype(jnp.int32)
         out_w_ref[:] = w
         _emit_partials(part_ref, w, s, K)
@@ -357,8 +392,9 @@ def make_fused_discrete_ssm(
         raise ValueError("transition rows must sum to 1")
     if K > 32:
         raise ValueError(
-            f"K={K}: polynomial table evaluation is limited to K <= 32 "
-            "(f32 Horner accuracy); use the XLA path for larger state spaces"
+            f"K={K}: in-kernel table lookups are limited to K <= 32 "
+            "(K-1 unrolled per-category select/FMA chains per step); use the "
+            "XLA path for larger state spaces"
         )
     means = np.asarray(means, np.float64).reshape(K)
     stds = (np.ones(K) if stds is None else np.asarray(stds, np.float64)).reshape(K)

@@ -322,3 +322,25 @@ class TestDefensiveMixture:
         frac_spike = np.mean(np.abs(xs - 2.0) < 0.2)
         assert 0.5 < frac_spike < 0.62
         assert xs.min() < 0.5 and xs.max() > 3.5
+
+    def test_event_dim_components(self, key):
+        """ADVICE r3 (low): components with event dims (MVN) must broadcast
+        against the per-draw component pick."""
+        from cpprob_tpu.distributions import (
+            DefensiveMixture,
+            MultivariateNormalDiag,
+        )
+
+        d = DefensiveMixture(
+            MultivariateNormalDiag(jnp.zeros(3), jnp.full(3, 0.1)),
+            MultivariateNormalDiag(jnp.full(3, 5.0), jnp.full(3, 0.1)),
+            0.5,
+        )
+        xs = np.asarray(d.sample(key, (512,)))
+        assert xs.shape == (512, 3)
+        # each DRAW is wholly one component (not mixed per coordinate)
+        near0 = np.abs(xs) < 1.0
+        near5 = np.abs(xs - 5.0) < 1.0
+        assert np.all(near0.all(axis=1) | near5.all(axis=1))
+        frac = near5.all(axis=1).mean()
+        assert 0.4 < frac < 0.6

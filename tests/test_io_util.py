@@ -98,6 +98,45 @@ class TestSerialization:
                 rtol=1e-12,
             )
 
+    @pytest.mark.parametrize("native", [False, None])
+    def test_mixed_int_real_dump_single_weight_vector(self, tmp_path, native):
+        """ADVICE r3 (medium): a dump with BOTH .int and .real files (the
+        SHERPA shape: int channel + real momentum) must yield ONE weight per
+        particle, and StatsPrinter.from_dump must summarize it."""
+        from cpprob_tpu.inference.sis import ImportanceResult
+        from cpprob_tpu.postprocess.stats import StatsPrinter
+
+        n = 50
+        rng = np.random.default_rng(0)
+        res = ImportanceResult(
+            jnp.asarray(rng.standard_normal(n), jnp.float32),
+            {
+                "Channel": jnp.asarray(rng.integers(0, 4, n), jnp.int32),
+                "Momentum": jnp.asarray(rng.standard_normal(n), jnp.float32),
+            },
+        )
+        path = str(tmp_path / "mixed")
+        dump_posterior(path, res)
+        assert os.path.exists(path + ".int") and os.path.exists(path + ".real")
+        predicts, log_w = load_posterior(path, native=native)
+        assert log_w.shape == (n,)
+        np.testing.assert_allclose(
+            log_w, np.asarray(res.log_weights), rtol=1e-6
+        )
+        assert len(predicts["Channel"]) == n
+        assert len(predicts["Momentum"]) == n
+        s = StatsPrinter.from_dump(path, native=native).summary()
+        assert s["Channel"]["kind"] == "int"
+        assert s["Momentum"]["kind"] == "real"
+        emp_mean = float(
+            np.sum(
+                np.exp(log_w - log_w.max()) * np.asarray(predicts["Momentum"])
+            ) / np.sum(np.exp(log_w - log_w.max()))
+        )
+        np.testing.assert_allclose(
+            float(s["Momentum"]["mean"]), emp_mean, rtol=1e-4
+        )
+
     def test_posterior_npz_roundtrip(self, key, tmp_path):
         res = ct.sis(gaussian_unknown_mean_readme, (3.0, 4.0), 500, key)
         path = str(tmp_path / "posterior.npz")

@@ -11,6 +11,7 @@ import pytest
 from cpprob_tpu.inference.smc import build_smc_run
 from cpprob_tpu.ops.pallas_ssm import (
     _horner,
+    _make_table_lookup,
     _poly_coeffs,
     attach_fused_scalar_kernels,
     discrete_hmm_log_evidence,
@@ -47,6 +48,26 @@ class TestPolyTables:
             coeffs = _poly_coeffs(cdf[:, k])
             out = np.asarray(_horner(jnp.arange(5, dtype=jnp.float32), coeffs))
             np.testing.assert_allclose(out, cdf[:, k], atol=3e-5)
+
+    @pytest.mark.parametrize("k", [2, 5, 8, 12, 16, 32])
+    def test_table_lookup_exact_at_any_k(self, k):
+        """ADVICE r3 (high): raw f32 Horner on Vandermonde coefficients is
+        catastrophically wrong from K~10; the build-time-validated lookup
+        must stay node-exact at every supported K."""
+        rng = np.random.default_rng(k)
+        vals = rng.standard_normal(k) * 3.0
+        lookup = _make_table_lookup(vals)
+        out = np.asarray(lookup(jnp.arange(k, dtype=jnp.float32)))
+        np.testing.assert_allclose(out, vals, rtol=2e-5, atol=2e-5)
+
+    def test_table_lookup_cdf_rows_k16(self):
+        rng = np.random.default_rng(7)
+        t = rng.dirichlet(np.ones(16), size=16)
+        cdf = np.cumsum(t, axis=1)
+        for k in range(15):
+            lookup = _make_table_lookup(cdf[:, k])
+            out = np.asarray(lookup(jnp.arange(16, dtype=jnp.float32)))
+            np.testing.assert_allclose(out, cdf[:, k], atol=1e-5)
 
 
 class TestBuilderValidation:
@@ -135,6 +156,34 @@ class TestDiscreteKernelInterpret:
             - np.log(STDS5[0]) - 0.5 * np.log(2 * np.pi)
         )
         np.testing.assert_allclose(np.asarray(w), expected, rtol=2e-4)
+
+    def test_chunk_deterministic_weights_k12(self):
+        """K=12 exercises the chained-select fallback inside the generated
+        kernel (the Horner path fails build-time validation at this K)."""
+        rng = np.random.default_rng(12)
+        trans = rng.dirichlet(np.ones(12), size=12)
+        means = np.linspace(-3.0, 3.0, 12)
+        stds = np.linspace(0.5, 1.6, 12)
+        ssm = make_fused_discrete_ssm(
+            trans, means, stds, block_r=8, interpret=True
+        )
+        n = 8 * 128
+        states = jnp.full((n,), 7, jnp.int32)
+        log_w = jnp.zeros((n,))
+        ys = jnp.array([0.5, -0.25])
+        s, w, _, _, lme = ssm.fused_chunk_exchange_batch(
+            jax.random.key(0), states, log_w, ys, jnp.int32(2),
+            jnp.int32(0), jnp.zeros((11,), jnp.int32),
+        )
+        # u=0 => new state always 0; emission N(means[0], stds[0])
+        expected = sum(
+            -0.5 * ((y - means[0]) / stds[0]) ** 2
+            - np.log(stds[0]) - 0.5 * np.log(2 * np.pi)
+            for y in np.asarray(ys)
+        )
+        assert np.all(np.asarray(s) == 0)
+        np.testing.assert_allclose(np.asarray(w), expected, rtol=2e-4)
+        np.testing.assert_allclose(float(lme), expected, rtol=2e-4)
 
     def test_init_kernel(self):
         ssm = self._ssm()
