@@ -113,6 +113,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile-mode training steps")
     p.add_argument("--ckpt-dir", default=None,
                    help="save/load the proposal network here")
+    p.add_argument("--obs-embedding", default="fc",
+                   choices=["fc", "lstm", "cnn3d", "site-lstm"],
+                   help="observation embedding architecture "
+                        "(infcomp --obs_embedding, main.py:35; cnn3d and "
+                        "site-lstm beyond the reference's fc|lstm)")
+    p.add_argument("--resume", action="store_true",
+                   help="compile: warm-start from the latest checkpoint in "
+                        "--ckpt-dir (infcomp --resume, main.py:38)")
+    p.add_argument("--save-every", type=int, default=None, metavar="N_TRACES",
+                   help="compile: checkpoint to --ckpt-dir every N processed "
+                        "traces (infcomp --save_after_n_traces, main.py:33-34)"
+                        "; the training loop is also Ctrl-C-safe — interrupt "
+                        "and the partially trained network is still saved")
+    p.add_argument("--tie-addresses", action="store_true",
+                   help="share (embedding, head) across loop-indexed sites "
+                        "name[t] and train them as a lax.scan")
+    p.add_argument("--mdn", type=int, default=0, metavar="K",
+                   help="mixture-density proposal heads with K components "
+                        "on Normal-prior sites")
+    p.add_argument("--flow-bins", type=int, default=0, metavar="K",
+                   help="rational-quadratic spline-flow proposal heads with "
+                        "K bins on Normal-prior sites")
+    p.add_argument("--dynamic", action="store_true",
+                   help="DynamicCSIS engine: bucketed training + host-side "
+                        "guided particles for Python-dynamic model structure")
     p.add_argument("--dump-traces-dir", default=None,
                    help="compile: dump prior-trace shards here instead of "
                         "training (cpprob::compile dump_folder)")
@@ -268,8 +293,26 @@ def main(argv=None) -> int:
                   f"var {np.array2string(v, precision=5)}")
         return 0
 
+    def make_engine():
+        if args.dynamic:
+            if args.tie_addresses or args.mdn or args.flow_bins:
+                print("--dynamic is incompatible with --tie-addresses/"
+                      "--mdn/--flow-bins", file=sys.stderr)
+                raise SystemExit(2)
+            from .inference.csis_dynamic import DynamicCSIS
+
+            return DynamicCSIS(
+                model, template, obs_embedding=args.obs_embedding,
+                bucket_batch=args.batch_size,
+            )
+        return CSIS(
+            model, template, obs_embedding=args.obs_embedding,
+            mdn_components=args.mdn, flow_bins=args.flow_bins,
+            tie_addresses=args.tie_addresses,
+        )
+
     if args.mode == "compile":
-        engine = CSIS(model, template)
+        engine = make_engine()
         if args.dump_traces_dir:
             paths = engine.dump_traces(
                 args.dump_traces_dir, key, args.n_traces, args.batch_size * 16
@@ -278,7 +321,32 @@ def main(argv=None) -> int:
                   f"{args.dump_traces_dir}", file=sys.stderr)
             return 0
         logger = TrainLogger(print_every=max(args.steps // 10, 1))
-        if args.traces_dir:
+        start_params = None
+        if args.resume:
+            if not args.ckpt_dir:
+                print("--resume needs --ckpt-dir", file=sys.stderr)
+                return 2
+            ck = latest_checkpoint(args.ckpt_dir)
+            if ck is not None:
+                start_params = load_pytree(ck, engine.init(jax.random.key(0)))
+                print(f"resuming from {ck}", file=sys.stderr)
+            else:
+                print(f"no checkpoint in {args.ckpt_dir}; starting fresh",
+                      file=sys.stderr)
+        saver = None
+        if args.save_every:
+            if not args.ckpt_dir:
+                print("--save-every needs --ckpt-dir", file=sys.stderr)
+                return 2
+            from .util import periodic_saver
+
+            saver = periodic_saver(args.ckpt_dir, args.save_every)
+        if args.dynamic:
+            params, _stats = engine.compile(
+                key, n_traces=args.steps * args.batch_size,
+                params=start_params, log_fn=logger.log, saver=saver,
+            )
+        elif args.traces_dir:
             import glob
 
             from .io.tracefile import TraceLoader
@@ -290,21 +358,25 @@ def main(argv=None) -> int:
             loader = TraceLoader(paths, batch_size=args.batch_size,
                                  seed=args.seed)
             params, losses = engine.compile_offline(
-                loader, key, steps=args.steps, log_fn=logger.log,
+                loader, key, steps=args.steps, log_fn=logger.log, saver=saver,
             )
             loader.close()
         else:
             params, losses = engine.compile(
                 key, steps=args.steps, batch_size=args.batch_size,
-                log_fn=logger.log, unroll=args.unroll,
+                log_fn=logger.log, unroll=args.unroll, saver=saver,
             )
         if args.ckpt_dir:
-            path = save_pytree(f"{args.ckpt_dir}/ckpt-final", params)
+            import time as _time
+
+            path = save_pytree(
+                f"{args.ckpt_dir}/ckpt-{int(_time.time())}-final", params
+            )
             print(f"saved proposal network to {path}", file=sys.stderr)
         return 0
 
     if args.mode == "csis":
-        engine = CSIS(model, template)
+        engine = make_engine()
         if not args.ckpt_dir:
             print("csis mode needs --ckpt-dir with a trained network",
                   file=sys.stderr)
@@ -314,9 +386,13 @@ def main(argv=None) -> int:
             print(f"no checkpoint in {args.ckpt_dir}", file=sys.stderr)
             return 2
         params = load_pytree(ck, engine.init(jax.random.key(0)))
-        result = engine.infer(
-            params, observes, args.n_particles, key, batch_size=args.batch
-        )
+        if args.dynamic:
+            result = engine.infer(params, observes, args.n_particles, key)
+        else:
+            result = engine.infer(
+                params, observes, args.n_particles, key,
+                batch_size=args.batch,
+            )
     else:  # sis
         result = sis(
             model, observes, args.n_particles, key, batch_size=args.batch

@@ -259,6 +259,7 @@ class DynamicCSIS:
         learning_rate: float = 1e-3,
         params=None,
         log_fn=None,
+        saver=None,
     ):
         """Generate ``n_traces`` prior traces host-side, bucket them by
         address-sequence signature, and run one jitted optimizer step per
@@ -266,7 +267,9 @@ class DynamicCSIS:
 
         Returns ``(params, stats)`` with per-bucket counts and losses.
         Leftover partial buckets at the end are trained once with their
-        actual size (one extra compile each)."""
+        actual size (one extra compile each).  ``saver``: periodic_saver
+        called per trained bucket; Ctrl-C returns the partial params
+        (reference ``train.py:47-53``)."""
         key, k_init = jax.random.split(key)
         if params is None:
             params = self.init(k_init)
@@ -301,17 +304,22 @@ class DynamicCSIS:
             losses.append(float(loss))
             if log_fn is not None:
                 log_fn(float(loss), len(rows))
+            if saver is not None:
+                saver.maybe_save(params, len(rows))
 
         keys = jax.random.split(key, n_traces)
-        for i in range(n_traces):
-            sites, values, obs = self._trace_once(keys[i])
-            sig = _trace_signature(sites)
-            buckets.setdefault(sig, []).append((sites, values, obs))
-            counts[sig] = counts.get(sig, 0) + 1
-            if len(buckets[sig]) >= self.bucket_batch:
-                train_bucket(sig, buckets.pop(sig))
-        for sig, rows in list(buckets.items()):
-            train_bucket(sig, rows)
+        try:
+            for i in range(n_traces):
+                sites, values, obs = self._trace_once(keys[i])
+                sig = _trace_signature(sites)
+                buckets.setdefault(sig, []).append((sites, values, obs))
+                counts[sig] = counts.get(sig, 0) + 1
+                if len(buckets[sig]) >= self.bucket_batch:
+                    train_bucket(sig, buckets.pop(sig))
+            for sig, rows in list(buckets.items()):
+                train_bucket(sig, rows)
+        except KeyboardInterrupt:
+            pass  # Ctrl-C-safe partial return
         stats = {
             "bucket_counts": {str(k[:2]): v for k, v in counts.items()},
             "n_buckets": len(counts),

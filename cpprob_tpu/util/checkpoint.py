@@ -91,13 +91,18 @@ class periodic_saver:
         self.every = every_n_traces
         self.prefix = prefix
         self._since = 0
+        self._count = 0
 
     def maybe_save(self, tree: Any, n_new_traces: int) -> Optional[str]:
         self._since += n_new_traces
         if self._since >= self.every:
             self._since = 0
+            self._count += 1
+            # timestamp + sequence number: several saves within one second
+            # must not overwrite each other
             name = os.path.join(
-                self.directory, f"{self.prefix}-{int(time.time())}"
+                self.directory,
+                f"{self.prefix}-{int(time.time())}-{self._count:05d}",
             )
             return save_pytree(name, tree)
         return None
