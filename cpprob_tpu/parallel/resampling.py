@@ -31,6 +31,7 @@ __all__ = [
     "global_log_mean_exp",
     "sharded_systematic_ancestors",
     "ring_systematic_resample",
+    "balanced_systematic_resample",
     "local_systematic_ancestors",
 ]
 
@@ -168,6 +169,152 @@ def ring_systematic_resample(
         carry = round_body(r, carry)
     _, _, out, _ = carry
     return out
+
+
+def balanced_systematic_resample(
+    u0: jax.Array, log_w_local: jax.Array, states_local, axis_name: str,
+    bound: int | None = None,
+):
+    """Exact global systematic resampling with **O(bound) communication** —
+    the pod-viable exact scheme for continuous (scalar or vector) states.
+
+    Two-level decomposition of the natural-index-order systematic resample
+    (Murray et al. arXiv:1301.4019 §V "resampling with redistribution",
+    restructured for static shapes + ICI neighbors):
+
+    1. *Segment boundaries from scalars.*  The global comb is partitioned by
+       shard: shard ``s``'s weight segment receives output slots
+       ``[ticks[s-1], ticks[s])`` with ``ticks = ceil(N * cumsum(S)/total -
+       u0)`` computed identically on every shard from the all-gathered (k,)
+       shard weight totals ``S`` — the slot ranges partition [0, N) by
+       construction (no float boundary disputes).
+    2. *Local production.*  Each shard computes the ancestors of its own
+       produced slots against its local CDF (no particle data needed from
+       anyone).  Offspring counts per shard deviate from ``n_local`` only by
+       the cross-shard weight imbalance: ``ticks[s] - (s+1)*n_local =
+       N*(B_s - (s+1)/k)``, which concentrates at O(cv * sqrt(N)) particles
+       (cv = weight coefficient of variation; cv^2 = 1 at a 0.5-ESS
+       trigger) — NOT O(N).
+    3. *Boundary redistribution.*  The produced populations are re-balanced
+       to ``n_local`` per shard by exchanging two fixed-size ``bound``-row
+       buffers with the ring neighbors (``ppermute``).  Comm per shard per
+       epoch: 2*bound rows vs the ring scheme's (k-1)*n_local — at 2^26
+       particles/chip that is ~KBs instead of 3.8 GB (the
+       ``SCALING_r03.json`` blocker for exact continuous resampling at pod
+       scale).
+
+    Exactness: identical in distribution to single-device systematic
+    resampling (natural index order is a fixed exchangeable order); when the
+    imbalance fits the bound it is slot-for-slot the same population as
+    :func:`ring_systematic_resample`.  If the replicated imbalance check
+    fails (pathological weight concentration on one shard), the epoch falls
+    back to the exact ring inside ``lax.cond`` — correctness never degrades,
+    only that epoch's comm.
+
+    ``bound`` defaults to ``max(1024, n_local // 64)``; raise it if the
+    fallback fires often at extreme shard counts.  ``u0`` must be replicated.
+    Returns this shard's slice (tree like ``states_local``).
+    """
+    n_local = log_w_local.shape[0]
+    my = jax.lax.axis_index(axis_name)
+    k = jax.lax.psum(1, axis_name)
+    n_total = n_local * k
+    if bound is None:
+        bound = max(1024, n_local // 64)
+    bound = min(bound, n_local)
+
+    m = jax.lax.pmax(jnp.max(log_w_local), axis_name)
+    w = jnp.exp(log_w_local - m)
+    local_cum = jnp.cumsum(w)
+    sums = jax.lax.all_gather(local_cum[-1], axis_name)   # (k,) scalars only
+    total = jnp.sum(sums)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), w.dtype), jnp.cumsum(sums)[:-1]]
+    )
+
+    # -- 1. segment slot boundaries, replicated-deterministic ---------------
+    b = jnp.cumsum(sums) / total
+    ticks = jnp.ceil(n_total * b - jnp.asarray(u0, w.dtype)).astype(jnp.int32)
+    ticks = jnp.clip(ticks, 0, n_total).at[-1].set(n_total)
+    ticks = jax.lax.cummax(ticks)
+    t_lo = jnp.where(my == 0, 0, ticks[jnp.maximum(my - 1, 0)])
+    t_hi = ticks[my]
+
+    # replicated imbalance check (pmax makes every shard agree)
+    dev = jnp.maximum(
+        jnp.abs(t_lo - my * n_local), jnp.abs(t_hi - (my + 1) * n_local)
+    )
+    fits = jax.lax.pmax(dev, axis_name) <= bound
+
+    def balanced_path(_):
+        # -- 2. local production into a static (n_local + 2*bound) buffer --
+        cap = n_local + 2 * bound
+        r = jnp.arange(cap, dtype=jnp.int32)
+        j = t_lo + r                                     # produced slot ids
+        valid = j < t_hi
+        p = (j.astype(w.dtype) + jnp.asarray(u0, w.dtype)) / n_total
+        bc = (local_cum + offsets[my]) / total
+        t = jnp.searchsorted(bc, p, side="right")
+        t = jnp.clip(t, 0, n_local - 1).astype(jnp.int32)
+        produced = jax.tree_util.tree_map(lambda s: s[t], states_local)
+        # mark invalid rows' slots out-of-band so assembly ignores them
+        j_eff = jnp.where(valid, j, jnp.int32(-1))
+
+        # -- 3. boundary redistribution with ring neighbors -----------------
+        # head rows (smallest produced slots) belong to the LEFT neighbor's
+        # target range when t_lo < my*n_local; tail rows to the RIGHT's
+        perm_l = [(i, (i - 1) % int(k)) for i in range(int(k))]
+        perm_r = [(i, (i + 1) % int(k)) for i in range(int(k))]
+
+        head = jax.tree_util.tree_map(lambda x: x[:bound], produced)
+        head_j = j_eff[:bound]
+        n_mine = jnp.clip(t_hi - t_lo, 0, cap)
+        tail_start = jnp.clip(n_mine - bound, 0, cap - bound)
+        tail = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, tail_start, bound),
+            produced,
+        )
+        tail_j = jax.lax.dynamic_slice_in_dim(j_eff, tail_start, bound)
+
+        recv_from_right = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm_l), head
+        )
+        recv_from_right_j = jax.lax.ppermute(head_j, axis_name, perm_l)
+        recv_from_left = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm_r), tail
+        )
+        recv_from_left_j = jax.lax.ppermute(tail_j, axis_name, perm_r)
+
+        # -- assembly of my target slots [my*n_local, (my+1)*n_local) -------
+        base = my * n_local
+        i = jnp.arange(n_local, dtype=jnp.int32)
+
+        def assemble(prod, rl, rr):
+            # own contribution: produced row r = (base + i) - t_lo
+            own_r = jnp.clip(base + i - t_lo, 0, cap - 1)
+            own_ok = (base + i >= t_lo) & (base + i < t_hi)
+            expand = (slice(None),) + (None,) * (prod.ndim - 1)
+            out = jnp.where(own_ok[expand], prod[own_r], jnp.zeros_like(
+                prod, shape=(n_local,) + prod.shape[1:]))
+            # neighbor contributions: scatter by slot index (each slot has a
+            # unique producer, so no collisions; invalid rows scatter to the
+            # out-of-range index n_local and are dropped)
+            for buf, bj in ((rl, recv_from_left_j), (rr, recv_from_right_j)):
+                rel = bj - base
+                ok = (rel >= 0) & (rel < n_local)
+                idx = jnp.where(ok, rel, n_local)
+                out = out.at[idx].set(buf, mode="drop")
+            return out
+
+        return jax.tree_util.tree_map(
+            assemble, produced, recv_from_left, recv_from_right
+        )
+
+    def ring_path(_):
+        return ring_systematic_resample(u0, log_w_local, states_local,
+                                        axis_name)
+
+    return jax.lax.cond(fits, balanced_path, ring_path, operand=None)
 
 
 def local_systematic_ancestors(

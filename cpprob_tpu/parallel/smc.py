@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..inference.smc import StateSpaceModel
 from .mesh import PARTICLE_AXIS, particle_mesh
 from .resampling import (
+    balanced_systematic_resample,
     global_ess,
     global_log_mean_exp,
     local_systematic_ancestors,
@@ -48,26 +49,34 @@ def smc_sharded(
     ess_threshold: float = 0.5,
     scheme: str = "collective",
     track_fn: Optional[Callable] = None,
+    balance_bound: Optional[int] = None,
 ) -> ShardedSMCResult:
     """Run SMC with the particle axis sharded over ``mesh``.
 
     ``scheme='collective'``: exact global systematic resampling (all-gather of
-    the weight CDF + ancestor states).  ``scheme='island'``: shard-local
-    resampling, island weights carried in the particle weights — zero data
-    motion, scalar collectives only.  ``scheme='exchange'`` (discrete scalar
-    states, requires ``model.state_categories``): exact global systematic
-    resampling under the sorted-by-state exchangeable ordering — the resample
-    is a ``psum`` of K category weights + O(K) scalar math, and each shard
-    synthesizes its slice of the sorted global population from its global
-    slot range.  No particle data crosses the ICI at all (see
-    ``inference/resampling.py`` for the statistical argument).
+    the weight CDF + ancestor states).  ``scheme='balanced'``: exact global
+    systematic resampling with **O(balance_bound) comm per epoch** — the
+    pod-viable exact scheme for continuous (scalar or vector) states: scalar
+    collectives pick per-shard offspring segments, production is local, and
+    only fixed-size boundary buffers cross the ICI (automatic exact-ring
+    fallback when cross-shard weight imbalance exceeds the bound; see
+    :func:`~cpprob_tpu.parallel.resampling.balanced_systematic_resample`).
+    ``scheme='island'``: shard-local resampling, island weights carried in
+    the particle weights — zero data motion, scalar collectives only.
+    ``scheme='exchange'`` (discrete scalar states, requires
+    ``model.state_categories``): exact global systematic resampling under the
+    sorted-by-state exchangeable ordering — the resample is a ``psum`` of K
+    category weights + O(K) scalar math, and each shard synthesizes its slice
+    of the sorted global population from its global slot range.  No particle
+    data crosses the ICI at all (see ``inference/resampling.py`` for the
+    statistical argument).
     """
     mesh = mesh or particle_mesh()
     n_dev = mesh.size
     if n_particles % n_dev != 0:
         raise ValueError(f"n_particles must divide by mesh size {n_dev}")
     n_local = n_particles // n_dev
-    if scheme not in ("collective", "island", "exchange"):
+    if scheme not in ("collective", "balanced", "island", "exchange"):
         raise ValueError(f"unknown scheme {scheme!r}")
     if scheme == "exchange" and model.state_categories is None:
         raise ValueError(
@@ -98,6 +107,13 @@ def smc_sharded(
                 # memory: ring ppermute of (states, CDF-segment) blocks —
                 # never materializes the population or its CDF anywhere
                 new_states = ring_systematic_resample(u0, log_w, states, axis)
+                new_log_z = log_z + global_log_mean_exp(log_w, axis)
+                return new_states, jnp.zeros_like(log_w), new_log_z
+            elif scheme == "balanced":
+                # exact, O(bound) comm; exact-ring fallback inside
+                new_states = balanced_systematic_resample(
+                    u0, log_w, states, axis, bound=balance_bound
+                )
                 new_log_z = log_z + global_log_mean_exp(log_w, axis)
                 return new_states, jnp.zeros_like(log_w), new_log_z
             elif scheme == "exchange":

@@ -1,4 +1,4 @@
-"""Collective-scheme communication characterization -> SCALING_r03.json.
+"""Collective-scheme communication characterization -> SCALING_r04.json.
 
 The virtual-CPU-mesh weak-scaling numbers (SCALING_r02.json) bound overhead
 but cannot predict real-ICI behavior: the 2 shared host cores serialize what
@@ -49,6 +49,12 @@ def analytic_models(n_local: int, k: int, epochs: float, state_bytes: int = 4):
       (states, cdf-segment) block of n_local*(state_bytes+4) bytes makes
       k-1 ppermute hops; per-shard egress per epoch is (k-1) *
       n_local * (state_bytes+4); hops pipeline on neighbor links.
+    - balanced (exact, any state type — VERDICT r3 item 2): per-shard
+      offspring segments from an all-gather of k scalars; only two
+      fixed-size boundary buffers of `bound` rows cross the ICI (one
+      ppermute hop each way).  bound defaults to n_local // 64; the exact
+      cross-shard imbalance this must cover concentrates at
+      O(cv * sqrt(N)) particles (cv^2 = 1 at a 0.5-ESS trigger).
     - exchange (exact, discrete K-state): one psum of K f32 category
       sums + scalar ticks — latency-bound, ~2*log2(k) hops.
     - island (approximate, unbiased in Z): scalar collectives only.
@@ -57,11 +63,29 @@ def analytic_models(n_local: int, k: int, epochs: float, state_bytes: int = 4):
     ring_egress = (k - 1) * blk
     ring_time = ring_egress / ICI_BW + (k - 1) * HOP_LAT
     psum_time = 2 * np.log2(k) * HOP_LAT
+    bound = max(1024, n_local // 64)
+    bal_egress = 2 * bound * (state_bytes + 4)
+    bal_time = (
+        bal_egress / ICI_BW            # 2 boundary buffers, 1 hop each
+        + 2 * HOP_LAT                  # the two ppermute hops
+        + 2 * np.log2(k) * HOP_LAT     # all-gather of k scalars
+    )
     return {
         "collective_ring": {
             "bytes_egress_per_shard_per_epoch": ring_egress,
             "epoch_time_s": ring_time,
             "per_sweep_comm_s": epochs * ring_time,
+        },
+        "balanced": {
+            "bytes_egress_per_shard_per_epoch": bal_egress,
+            "boundary_bound_rows": bound,
+            "imbalance_coverage": (
+                f"bound {bound} rows vs O(cv*sqrt(N)) = "
+                f"{int(np.sqrt(n_local * k))} expected at cv=1 "
+                f"(exact-ring fallback beyond)"
+            ),
+            "epoch_time_s": bal_time,
+            "per_sweep_comm_s": epochs * bal_time,
         },
         "exchange": {
             "bytes_egress_per_shard_per_epoch": 3 * 4 * int(np.log2(k)) * 2,
@@ -115,9 +139,11 @@ def main():
           f"boundaries {epochs:.2f} ({chunk_counts})", file=sys.stderr)
 
     # --- measured: virtual-mesh efficiencies (structural check) -----------
+    from cpprob_tpu.models import kalman_filter_1d, linear_gaussian_ssm
+
     devices = jax.devices()
-    virtual = {}
-    for scheme in ("collective", "island", "exchange"):
+
+    def sweep_scheme(model, observations, scheme):
         rows = []
         for k in (1, 2, 4, 8):
             if k > len(devices):
@@ -126,7 +152,7 @@ def main():
             n = args.per_device * k
 
             def runk(key):
-                return smc_sharded(hmm_ssm, obs, n, key, mesh=mesh,
+                return smc_sharded(model, observations, n, key, mesh=mesh,
                                    scheme=scheme)
 
             r = runk(jax.random.key(0)); float(r.log_evidence)
@@ -141,12 +167,29 @@ def main():
                 "sweep_s": float(np.median(ts)),
                 "log_evidence": float(r.log_evidence),
             })
-        base = rows[0]["sweep_s"] * rows[0]["devices"]
         for row in rows[1:]:
-            row["efficiency"] = (
-                rows[0]["sweep_s"] / row["sweep_s"]
-            )
-        virtual[scheme] = rows
+            row["efficiency"] = rows[0]["sweep_s"] / row["sweep_s"]
+        return rows
+
+    virtual = {
+        scheme: sweep_scheme(hmm_ssm, obs, scheme)
+        for scheme in ("collective", "island", "exchange")
+    }
+
+    # continuous-state check for the balanced scheme: LG model vs Kalman
+    obs_lg = jnp.asarray(
+        np.random.RandomState(11).normal(0, 1.2, size=T).astype(np.float32)
+    )
+    _, _, kal_ll = kalman_filter_1d(obs_lg)
+    virtual_cont = {
+        scheme: sweep_scheme(linear_gaussian_ssm, obs_lg, scheme)
+        for scheme in ("collective", "balanced")
+    }
+    for scheme, rows in virtual_cont.items():
+        for row in rows:
+            row["kalman_log_evidence"] = float(np.asarray(kal_ll))
+            assert abs(row["log_evidence"] - float(np.asarray(kal_ll))) < 0.3, (
+                scheme, row)
 
     # --- analytic: bytes + predicted 2-host efficiency --------------------
     models = analytic_models(N_LOCAL, CHIPS, epochs)
@@ -163,8 +206,9 @@ def main():
         }
 
     out = {
-        "artifact": "collective-scheme communication characterization + "
-                    "2-host prediction (VERDICT r2 item 9)",
+        "artifact": "distributed-resampling communication characterization "
+                    "+ 2-host prediction, incl. the exact balanced "
+                    "continuous-state scheme (VERDICT r3 item 2)",
         "assumptions": {
             "ici_bw_one_way_bytes_per_s": ICI_BW,
             "hop_latency_s": HOP_LAT,
@@ -189,25 +233,32 @@ def main():
             "resample_epochs_per_sweep_per_step_granularity": epochs_per_step,
             "epoch_counts_by_seed": chunk_counts,
             "virtual_mesh": virtual,
+            "virtual_mesh_continuous_lg": virtual_cont,
             "virtual_mesh_note": "2 shared host cores — efficiencies are "
                                  "lower bounds on collective overhead, not "
-                                 "parallel speedup (see SCALING_r02.json)",
+                                 "parallel speedup (see SCALING_r02.json); "
+                                 "the continuous-LG rows additionally gate "
+                                 "log-evidence against the exact Kalman "
+                                 "filter at every mesh size",
         },
         "predicted_2host": predictions,
         "conclusion": (
-            "exchange (exact, discrete states) and island (unbiased-Z) are "
-            "latency-bound: predicted >=99.8% weak-scaling efficiency at 8 "
-            "chips. The exact ring scheme moves (k-1)*n_local*8 bytes per "
-            "shard per epoch — at 2^26 particles/chip that is 3.8 GB "
-            "(~85 ms at 45 GB/s) vs 11.8 ms of compute, so exact "
-            "continuous-state resampling at full HBM occupancy is "
-            "ICI-bandwidth-dominated and should either shrink per-chip "
-            "population during epochs or switch to exchange/island "
-            "semantics; for discrete-state SSMs (the flagship bench) the "
-            "fused exchange path already makes pod-scale resampling free."
+            "The balanced scheme closes the r3 exact-continuous gap "
+            "(SCALING_r03: ring at 3.8 GB/shard/epoch -> 12.3% predicted "
+            "efficiency): exact natural-order systematic resampling whose "
+            "comm is an all-gather of k scalars plus two bound-row boundary "
+            "buffers (one ppermute hop each), with a bitwise-verified "
+            "exact-ring fallback when cross-shard weight imbalance exceeds "
+            "the bound. At 2^26 particles/chip the default bound "
+            "(n_local/64 = 2^20 rows, 16 MB egress) predicts "
+            ">=96% weak-scaling efficiency — comfortably above the >=85% "
+            "BASELINE target — while the expected imbalance at a 0.5-ESS "
+            "trigger is only ~sqrt(N) rows, far inside the bound. exchange "
+            "(exact, discrete) and island (unbiased-Z) remain latency-bound "
+            "at >=99.8%; the ring stays as the any-imbalance fallback."
         ),
     }
-    path = args.out or os.path.join(repo, "SCALING_r03.json")
+    path = args.out or os.path.join(repo, "SCALING_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
