@@ -126,11 +126,15 @@ def main():
         obs.append(rng.normal(HMM_MEANS[z], 1.0))
     obs = jnp.asarray(np.asarray(obs, np.float32))
 
-    chunk = args.chunk if impl == "pallas" else 1
-    run_one = build_smc_run(
-        model, n_particles, ess_threshold=0.5, resampling="systematic",
-        store_history=False, chunk=chunk,
-    )
+    from cpprob_tpu.util.profiling import StageTimer
+
+    st = StageTimer()
+    with st.stage("build"):
+        chunk = args.chunk if impl == "pallas" else 1
+        run_one = build_smc_run(
+            model, n_particles, ess_threshold=0.5, resampling="systematic",
+            store_history=False, chunk=chunk,
+        )
     sweeps = max(1, args.sweeps_per_call) if not args.quick else 2
 
     @jax.jit
@@ -147,16 +151,21 @@ def main():
     # compile + warm.  NB: synchronize by *reading a scalar to host* —
     # on the axon remote backend block_until_ready() can return before the
     # execution drains, so a device->host fetch is the only reliable fence.
-    log_zs, resampled = run(jax.random.key(0), obs)
-    float(log_zs[-1])
+    with st.stage("compile_warm"):
+        log_zs, resampled = run(jax.random.key(0), obs)
+        float(log_zs[-1])
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        log_zs, resampled = run(jax.random.key(i + 1), obs)
-        float(log_zs[-1])
+        with st.stage("sweeps"):
+            log_zs, resampled = run(jax.random.key(i + 1), obs)
+            float(log_zs[-1])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / sweeps
+    with st.stage("host_fetch_results"):
+        log_zs_np = np.asarray(log_zs)
+        resampled_np = np.asarray(resampled)
 
     particle_steps_per_sec = n_particles * T / dt
     out = {
@@ -168,14 +177,15 @@ def main():
             "n_particles": n_particles,
             "T": T,
             "median_sweep_s": dt,
-            "log_evidence": float(np.mean(np.asarray(log_zs))),
-            "log_evidence_std": float(np.std(np.asarray(log_zs))),
-            "resample_epochs": float(np.asarray(resampled).sum(axis=1).mean()),
+            "log_evidence": float(np.mean(log_zs_np)),
+            "log_evidence_std": float(np.std(log_zs_np)),
+            "resample_epochs": float(resampled_np.sum(axis=1).mean()),
             "sweeps_per_call": sweeps,
             "device": str(jax.devices()[0]),
             "iters": iters,
             "impl": impl,
             "chunk": chunk,
+            "stages": st.as_dict(),
         },
     }
     print(json.dumps(out))

@@ -51,6 +51,17 @@ class StageTimer:
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
 
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        """JSON-friendly per-stage breakdown (for bench artifacts)."""
+        return {
+            name: {
+                "total_s": total,
+                "calls": self.counts[name],
+                "mean_ms": total / self.counts[name] * 1e3,
+            }
+            for name, total in self.totals.items()
+        }
+
     def report(self) -> str:
         lines = [f"{'stage':<24}{'total_s':>10}{'calls':>8}{'mean_ms':>10}"]
         for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):

@@ -1,6 +1,6 @@
-"""Generated-kernel + streaming-resample benchmarks -> KERNELS_r03.json.
+"""Generated-kernel + streaming-resample benchmarks -> KERNELS_r04.json.
 
-Measures, on the real TPU chip, the round-3 kernel deliverables:
+Measures, on the real TPU chip, the kernel-from-spec deliverables:
 
 1. kernel-from-spec discrete HMM (user-defined asymmetric 5-state chain,
    NOT the reference's hard-wired 3-state model) through
@@ -13,7 +13,7 @@ Measures, on the real TPU chip, the round-3 kernel deliverables:
 Every timed region is closed by a host transfer (remote-backend
 block_until_ready returns early).
 
-Usage: python examples/kernel_bench.py [--n 24] [--out KERNELS_r03.json]
+Usage: python examples/kernel_bench.py [--n 24] [--out KERNELS_r04.json]
 """
 
 import argparse
@@ -58,12 +58,22 @@ def make_multi_sweep(run_one, obs):
     return multi
 
 
-def timed(fn, key_base, iters=5):
-    fn(jax.random.key(key_base))  # compile+warm (result fetched inside)
+def timed(fn, key_base, iters=5, st=None, label=""):
+    """st: a StageTimer — records the compile+warm call and the timed
+    iterations as separate stages for the artifact's stage breakdown."""
+    if st is not None:
+        with st.stage(f"{label}:compile_warm"):
+            fn(jax.random.key(key_base))
+    else:
+        fn(jax.random.key(key_base))  # compile+warm (result fetched inside)
     ts = []
     for i in range(iters):
         t0 = time.perf_counter()
-        fn(jax.random.key(key_base + 1 + i))
+        if st is not None:
+            with st.stage(f"{label}:timed_iters"):
+                fn(jax.random.key(key_base + 1 + i))
+        else:
+            fn(jax.random.key(key_base + 1 + i))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -88,6 +98,9 @@ def main():
         make_fused_discrete_ssm,
     )
 
+    from cpprob_tpu.util.profiling import StageTimer
+
+    st = StageTimer()
     out = {
         "artifact": "generated-kernel + streaming-resample benchmarks",
         "device": str(jax.devices()[0]),
@@ -113,7 +126,7 @@ def main():
         lz = run5(key)
         lzs.extend(np.asarray(lz).tolist())
 
-    dt5 = timed(go5, 0, iters=8) / SWEEPS
+    dt5 = timed(go5, 0, iters=8, st=st, label="hmm5") / SWEEPS
     out["discrete_5state_spec_kernel"] = {
         "particle_steps_per_s": N * T / dt5,
         "sweep_s": dt5,
@@ -161,7 +174,7 @@ def main():
         res_holder["lz"] = float(np.asarray(lz).mean())
         res_holder["epochs"] = float(np.asarray(ep).mean())
 
-    dtlg = timed(golg, 100) / SWEEPS
+    dtlg = timed(golg, 100, st=st, label="lg") / SWEEPS
     _, _, ll = kalman_filter_1d(ys)
     out["linear_gaussian_live_resampling"] = {
         "particle_steps_per_s": N * T / dtlg,
@@ -190,8 +203,8 @@ def main():
     def gox(key):
         _ = np.asarray(f_sorted(key)[:4])
 
-    t_stream = timed(gos, 200, iters=4)
-    t_sorted = timed(gox, 300, iters=4)
+    t_stream = timed(gos, 200, iters=4, st=st, label="epoch_stream")
+    t_sorted = timed(gox, 300, iters=4, st=st, label="epoch_sorted")
     out["resample_epoch"] = {
         "streaming_pallas_s": t_stream,
         "xla_sorted_fill_s": t_sorted,
@@ -201,7 +214,8 @@ def main():
           f"sorted-fill {t_sorted*1e3:.1f} ms = {t_sorted/t_stream:.1f}x",
           file=sys.stderr)
 
-    path = args.out or os.path.join(repo, "KERNELS_r03.json")
+    out["stages"] = st.as_dict()
+    path = args.out or os.path.join(repo, "KERNELS_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
