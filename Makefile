@@ -7,7 +7,7 @@
 PY ?= python
 CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: check test native dryrun examples bench-quick clean
+.PHONY: check test native dryrun examples bench-quick tpu-test clean
 
 check: native test dryrun examples bench-quick
 	@echo "ALL CHECKS PASSED"
@@ -36,6 +36,11 @@ examples:
 
 bench-quick:
 	$(PY) bench.py --quick
+
+# Hardware-only subset on the real attached TPU (the tpu_only Pallas PRNG
+# tests + on-chip statistical/guided-CSIS tests); records TPU_TEST_r04.json.
+tpu-test:
+	$(PY) examples/run_tpu_tests.py
 
 clean:
 	$(MAKE) -C native clean || true

@@ -92,6 +92,11 @@ class StateSpaceModel:
     # Continuous-state version, resample stays on the XLA side:
     # (key, states, log_w, ys, n_valid) -> (s', w', ess')
     fused_chunk_batch: Optional[Callable] = None
+    # Time-aware continuous chunk kernel (needed when the in-kernel update
+    # depends on the absolute timestep — e.g. fused GUIDED proposals whose
+    # features include t/T): (key, states, log_w, ys, n_valid, t0) ->
+    #     (s', w', ess').  Takes precedence over fused_chunk_batch.
+    fused_chunk_t_batch: Optional[Callable] = None
     # Fused initialization (prior states + t=0 reweight + streaming stats in
     # one kernel): (key, n, y0) -> (states, log_w, ess, cat_w(K,), lme).
     # Without it the chunked path pays an XLA-side counter-RNG init + two
@@ -112,6 +117,12 @@ class StateSpaceModel:
     # gather; see resampling.sorted_systematic_resample_values).  Same
     # no-genealogy caveat as state_categories.
     scalar_state: bool = False
+    # For small-D *vector continuous* state spaces ((n, D) states): enables
+    # the sorted-key systematic resampler
+    # (resampling.sorted_systematic_resample_values_nd) and the fused vector
+    # chunk kernels (ops.pallas_ssm.attach_fused_vector_kernels).  Same
+    # no-genealogy caveat.
+    vector_state_dim: Optional[int] = None
 
 
 class SMCResult(NamedTuple):
@@ -350,8 +361,8 @@ def make_smc_step_chunked(
     systematic resample at chunk boundaries (XLA side), then one multi-step
     fused kernel launch for the chunk's propagate+reweight updates."""
 
-    def step(carry, ys_and_valid):
-        ys, n_valid = ys_and_valid
+    def step(carry, ys_valid_t0):
+        ys, n_valid, t0 = ys_valid_t0
         key, states, log_w, log_z, ess = carry
         key, k_res, k_prop = jax.random.split(key, 3)
 
@@ -367,9 +378,14 @@ def make_smc_step_chunked(
         states_r, log_w_r, log_z_r = jax.lax.cond(
             do_resample, resample_branch, keep_branch, operand=None
         )
-        new_states, new_log_w, new_ess = model.fused_chunk_batch(
-            k_prop, states_r, log_w_r, ys, n_valid
-        )
+        if model.fused_chunk_t_batch is not None:
+            new_states, new_log_w, new_ess = model.fused_chunk_t_batch(
+                k_prop, states_r, log_w_r, ys, n_valid, t0
+            )
+        else:
+            new_states, new_log_w, new_ess = model.fused_chunk_batch(
+                k_prop, states_r, log_w_r, ys, n_valid
+            )
         return (key, new_states, new_log_w, log_z_r, new_ess), (do_resample,)
 
     return step
@@ -418,7 +434,7 @@ def build_smc_run(
     )
     sorted_ok = (
         not guided
-        and model.scalar_state
+        and (model.scalar_state or model.vector_state_dim is not None)
         and model.state_categories is None
         and not store_history
         and resampling == "systematic"
@@ -429,7 +445,10 @@ def build_smc_run(
         and model.fused_chunk_exchange_batch is not None
     )
     chunk_sorted = (
-        chunk > 1 and sorted_ok and model.fused_chunk_batch is not None
+        chunk > 1
+        and sorted_ok
+        and (model.fused_chunk_batch is not None
+             or model.fused_chunk_t_batch is not None)
     )
     if chunk > 1 and not (chunk_exchange or chunk_sorted):
         raise ValueError(
@@ -520,9 +539,11 @@ def build_smc_run(
             )
         if chunk_sorted:
             ys_chunks, valid = _chunk_observations(observations, chunk)
+            t0s = (1 + chunk * jnp.arange(
+                ys_chunks.shape[0], dtype=jnp.int32))
             carry0 = (key, states0, log_w0, jnp.zeros(()), _ess(log_w0))
             (key_f, states_f, log_w_f, log_z, _e), ys = jax.lax.scan(
-                step, carry0, (ys_chunks, valid)
+                step, carry0, (ys_chunks, valid, t0s)
             )
             log_z = log_z + _log_mean_exp(log_w_f)
             resampled = jnp.concatenate(

@@ -349,7 +349,7 @@ def _streaming_resample(u0, log_w, states, interpret: bool = False):
     else:
         kernel, in_space, scratch = (
             _pass2_kernel_dma,
-            pltpu.ANY,
+            pl.ANY,
             [
                 pltpu.VMEM((_W, _LANES), jnp.int32),
                 pltpu.VMEM((_W, _LANES), jnp.float32),

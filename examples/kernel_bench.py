@@ -189,6 +189,63 @@ def main():
           f"({res_holder['epochs']} epochs), logZ {res_holder['lz']:.3f} "
           f"vs kalman {float(np.asarray(ll)):.3f}", file=sys.stderr)
 
+    # --- 2b. GUIDED linear-Gaussian through the fused guided kernel --------
+    # (in-kernel proposal MLP q(z_t | z_{t-1}, y_t), hidden=8, exact RN
+    # weights — VERDICT r3 item 8b)
+    from cpprob_tpu.inference.smc_csis import train_ssm_proposal
+    from cpprob_tpu.ops.pallas_ssm import attach_fused_guided_scalar_kernels
+
+    gparams, _ = train_ssm_proposal(
+        linear_gaussian_ssm, jax.random.key(5), T, kind="normal",
+        steps=600, batch_size=256, hidden=16,
+    )
+
+    def trans_lp(x, nx, t):
+        d = nx - x
+        return -0.5 * d * d - half_log_2pi
+
+    def obs_lp(nx, y, t):
+        d = y - nx
+        return -0.5 * d * d - half_log_2pi
+
+    lg_guided = attach_fused_guided_scalar_kernels(
+        linear_gaussian_ssm, gparams, T,
+        trans_logpdf_elem=trans_lp, obs_logpdf_elem=obs_lp,
+    )
+    rung_one = build_smc_run(lg_guided, N, chunk=8, store_history=False)
+    gres = {}
+
+    def multi_g(key):
+        keys = jax.random.split(key, SWEEPS)
+
+        def body(_, k):
+            r = rung_one(k, ys)
+            return None, (r.log_evidence, r.resampled.sum())
+
+        _, (lz, ep) = jax.lax.scan(body, None, keys)
+        return lz, ep
+
+    rung = jax.jit(multi_g)
+
+    def gog(key):
+        lz, ep = rung(key)
+        gres["lz"] = float(np.asarray(lz).mean())
+        gres["epochs"] = float(np.asarray(ep).mean())
+
+    dtg = timed(gog, 400, st=st, label="lg_guided") / SWEEPS
+    out["linear_gaussian_guided_fused"] = {
+        "particle_steps_per_s": N * T / dtg,
+        "sweep_s": dtg,
+        "resample_epochs_mean": gres["epochs"],
+        "log_evidence_mean": gres["lz"],
+        "kalman_log_evidence": float(np.asarray(ll)),
+        "proposal": "in-kernel MLP [3,16,16,2] (smc_csis 'normal' head)",
+        "builder": "attach_fused_guided_scalar_kernels (ops/pallas_ssm.py)",
+    }
+    print(f"LG guided fused: {N*T/dtg/1e9:.2f} G steps/s "
+          f"({gres['epochs']} epochs), logZ {gres['lz']:.3f} "
+          f"vs kalman {float(np.asarray(ll)):.3f}", file=sys.stderr)
+
     # --- 3. resample epoch: streaming kernel vs XLA sorted-fill ------------
     log_w = jax.random.normal(jax.random.key(1), (N,)) * 2.0
     vals = jax.random.normal(jax.random.key(2), (N,))

