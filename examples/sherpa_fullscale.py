@@ -116,7 +116,16 @@ def main():
         active = (np.arange(4) <= ch)[:, None]
         return (np.asarray(CHANNEL_MOMENTA)[:, :3] * active).sum(axis=0)
 
+    # Defensive-mixture sweep (VERDICT r3 item 3): the proposal is an
+    # amortized inverse model trained on the untempered trace law; when the
+    # served (tempered) posterior is wider than the training target, a pure
+    # learned proposal under-covers and loses ESS to the prior on the
+    # affected channels.  Mixing lam of the PRIOR into every guided site
+    # (Hesterberg defensive IS, `infer(defensive=)`) bounds the importance
+    # weights by 1/lam where the net under-covers at a (1-lam) cost where it
+    # is right — the serving-time lever for this exact failure.
     tol_scales = [1.0, 3.0, 10.0, 30.0, 100.0]
+    defensives = [None, 0.1, 0.3, 0.5]
     rows = []
     wins = 0
     for ch in range(4):
@@ -124,38 +133,84 @@ def main():
         truth = mom_truth(ch)
         per_scale = []
         for s in tol_scales:
-            g = eng.infer(params, (obs, jnp.float32(s)), args.particles,
-                          jax.random.key(17 * ch + 1))
             p = ct.sis(model, (obs, jnp.float32(s)), args.particles,
                        jax.random.key(17 * ch + 2))
-            pg, pp = chpost(g), chpost(p)
-            mg = np.array([float(g.empirical(f"Momentum {a}").mean)
-                           for a in "XYZ"])
+            pp = chpost(p)
             mp = np.array([float(p.empirical(f"Momentum {a}").mean)
                            for a in "XYZ"])
+            variants = {}
+            for lam in defensives:
+                g = eng.infer(params, (obs, jnp.float32(s)), args.particles,
+                              jax.random.key(17 * ch + 1), defensive=lam)
+                pg = chpost(g)
+                mg = np.array([float(g.empirical(f"Momentum {a}").mean)
+                               for a in "XYZ"])
+                variants[str(lam)] = {
+                    "guided_posterior": [round(float(x), 4) for x in pg],
+                    "guided_ess": round(float(g.ess), 2),
+                    "ess_ratio": round(
+                        float(g.ess) / max(float(p.ess), 1e-9), 2),
+                    "guided_momentum_mean": [round(float(x), 3) for x in mg],
+                    "guided_momentum_abs_err": round(
+                        float(np.abs(mg - truth).sum()), 3),
+                    "guided_channel_correct": bool(pg.argmax() == ch),
+                }
+            base = variants["None"]
             per_scale.append({
                 "abc_temper": s,
-                "guided_posterior": [round(float(x), 4) for x in pg],
                 "prior_posterior": [round(float(x), 4) for x in pp],
-                "guided_ess": round(float(g.ess), 2),
                 "prior_ess": round(float(p.ess), 2),
-                "ess_ratio": round(float(g.ess) / max(float(p.ess), 1e-9), 2),
-                "guided_momentum_mean": [round(float(x), 3) for x in mg],
                 "prior_momentum_mean": [round(float(x), 3) for x in mp],
                 "true_momentum": [round(float(x), 3) for x in truth],
-                "guided_momentum_abs_err": round(
-                    float(np.abs(mg - truth).sum()), 3),
                 "prior_momentum_abs_err": round(
                     float(np.abs(mp - truth).sum()), 3),
-                "guided_channel_correct": bool(pg.argmax() == ch),
+                **{k: v for k, v in base.items()},
+                "defensive_variants": {
+                    k: v for k, v in variants.items() if k != "None"
+                },
             })
-            print(f"ch {ch} tau {s:>6}: guided {np.round(pg, 3)} "
-                  f"ess {float(g.ess):.1f}/{float(p.ess):.1f} "
-                  f"(x{per_scale[-1]['ess_ratio']}) "
-                  f"|dp| {per_scale[-1]['guided_momentum_abs_err']:.2f}"
+            ratios = {k: v["ess_ratio"] for k, v in variants.items()}
+            print(f"ch {ch} tau {s:>6}: guided "
+                  f"{np.round(base['guided_posterior'], 3)} "
+                  f"prior_ess {float(p.ess):.1f} ess_ratio by defensive "
+                  f"{ratios} |dp| {base['guided_momentum_abs_err']:.2f}"
                   f"/{per_scale[-1]['prior_momentum_abs_err']:.2f}")
         wins += int(per_scale[0]["guided_channel_correct"])
         rows.append({"channel": ch, "by_tolerance": per_scale})
+
+    # --- operating point: the (temper, defensive) with the best worst-case
+    # channel ess_ratio; the r3 demand is ratio > 1 on ALL FOUR channels
+    best = None
+    for si, s in enumerate(tol_scales):
+        for lam in defensives:
+            key_l = str(lam)
+            min_ratio = min(
+                (rows[ch]["by_tolerance"][si]["defensive_variants"][key_l]
+                 ["ess_ratio"] if lam is not None
+                 else rows[ch]["by_tolerance"][si]["ess_ratio"])
+                for ch in range(4)
+            )
+            correct = all(
+                (rows[ch]["by_tolerance"][si]["defensive_variants"][key_l]
+                 ["guided_channel_correct"] if lam is not None
+                 else rows[ch]["by_tolerance"][si]["guided_channel_correct"])
+                for ch in range(4)
+            )
+            cand = {"abc_temper": s, "defensive": lam,
+                    "min_channel_ess_ratio": min_ratio,
+                    "all_channels_correct": correct}
+            if best is None or (
+                (correct, min_ratio)
+                > (best["all_channels_correct"],
+                   best["min_channel_ess_ratio"])
+            ):
+                best = cand
+    print(f"operating point: {best}")
+    if not args.quick:
+        # the r3 demand: guided beats the prior's ESS on ALL FOUR channels
+        # at one documented (temper, defensive) operating point
+        assert best["all_channels_correct"], best
+        assert best["min_channel_ess_ratio"] > 1.0, best
 
     payload = {
         "experiment": "sherpa_fullscale_cnn3d_csis",
@@ -170,6 +225,8 @@ def main():
                   "loss_first": float(losses[0]),
                   "loss_last": float(np.asarray(losses)[-10:].mean())},
         "channel_recovery": rows,
+        "operating_point": best,
+        "defensives_swept": [str(d) for d in defensives],
         "abc_tempers": tol_scales,
         "abc_note": "abc_temper divides the ABC log-kernel (power "
                     "posterior): template ranking and channel recovery are "
