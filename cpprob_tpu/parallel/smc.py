@@ -50,6 +50,7 @@ def smc_sharded(
     scheme: str = "collective",
     track_fn: Optional[Callable] = None,
     balance_bound: Optional[int] = None,
+    chunk: int = 1,
 ) -> ShardedSMCResult:
     """Run SMC with the particle axis sharded over ``mesh``.
 
@@ -70,6 +71,14 @@ def smc_sharded(
     of the sorted global population from its global slot range.  No particle
     data crosses the ICI at all (see ``inference/resampling.py`` for the
     statistical argument).
+
+    ``chunk`` > 1 (requires a ``fused_chunk_batch``/``fused_chunk_t_batch``
+    kernel on the model, ``track_fn=None``): each shard runs ``chunk``
+    timesteps per fused kernel launch with its particle tile VMEM-resident
+    (the single-chip ``build_smc_run(chunk=)`` fast path), and the global
+    ESS check + distributed resample move to chunk boundaries — the
+    pod-scale configuration the comms model predicts: fused compute with
+    resampling epochs that cost O(bound) comm under ``scheme='balanced'``.
     """
     mesh = mesh or particle_mesh()
     n_dev = mesh.size
@@ -82,6 +91,20 @@ def smc_sharded(
         raise ValueError(
             "scheme='exchange' needs a discrete state space "
             "(model.state_categories)"
+        )
+    if chunk > 1:
+        if (model.fused_chunk_batch is None
+                and model.fused_chunk_t_batch is None):
+            raise ValueError(
+                "chunk > 1 needs a fused_chunk_batch/fused_chunk_t_batch "
+                "kernel on the model"
+            )
+        if track_fn is not None:
+            raise ValueError("chunk > 1 does not support track_fn")
+        return _smc_sharded_chunked(
+            model, observations, n_particles, key, mesh=mesh,
+            ess_threshold=ess_threshold, scheme=scheme,
+            balance_bound=balance_bound, chunk=chunk,
         )
     T = observations.shape[0]
 
@@ -199,6 +222,12 @@ def smc_sharded(
         P(),               # resampled flags
         P(),               # tracked means
     )
+    return _finish_smc_sharded(shard_body, mesh, out_specs, key,
+                               observations, track_fn)
+
+
+def _finish_smc_sharded(shard_body, mesh, out_specs, key, observations,
+                        track_fn):
     if track_fn is None:
         # scan carries None through; drop from outputs
         def wrapper(key_rep, obs):
@@ -218,3 +247,105 @@ def smc_sharded(
     run = jax.jit(mapped)
     s, w, z, e, r, tr = run(key, observations)
     return ShardedSMCResult(s, w, z, e, r, tr)
+
+
+def _smc_sharded_chunked(
+    model: StateSpaceModel,
+    observations: jax.Array,
+    n_particles: int,
+    key: jax.Array,
+    *,
+    mesh: Mesh,
+    ess_threshold: float,
+    scheme: str,
+    balance_bound: Optional[int],
+    chunk: int,
+) -> ShardedSMCResult:
+    """Sharded SMC with per-shard fused chunk kernels: the pod-scale
+    configuration — each shard's population stays VMEM-resident across
+    ``chunk`` fused timesteps; only the chunk-boundary ESS check (scalar
+    psums) and the (rare) distributed resample touch the ICI."""
+    from ..inference.smc import _chunk_observations
+
+    n_dev = mesh.size
+    n_local = n_particles // n_dev
+    T = observations.shape[0]
+
+    def shard_body(key_rep, obs):
+        axis = PARTICLE_AXIS
+        my = jax.lax.axis_index(axis)
+
+        # --- init (t = 0), per-shard keys -----------------------------------
+        k_init = jax.random.fold_in(jax.random.fold_in(key_rep, 0), my)
+        if model.init_sample_batch is not None:
+            states = model.init_sample_batch(k_init, n_local)
+        else:
+            states = jax.vmap(model.init_sample)(
+                jax.random.split(k_init, n_local)
+            )
+        if model.obs_logpdf_batch is not None:
+            log_w = model.obs_logpdf_batch(states, obs[0], 0)
+        else:
+            log_w = jax.vmap(lambda s: model.obs_logpdf(s, obs[0], 0))(states)
+
+        ys_chunks, valid = _chunk_observations(obs, chunk)
+        t0s = 1 + chunk * jnp.arange(ys_chunks.shape[0], dtype=jnp.int32)
+
+        def resample(t0, states, log_w, log_z):
+            u_key = jax.random.fold_in(key_rep, 1_000_000 + 7)
+            u0 = jax.random.uniform(jax.random.fold_in(u_key, t0), ())
+            if scheme == "balanced":
+                new_states = balanced_systematic_resample(
+                    u0, log_w, states, axis, bound=balance_bound
+                )
+                new_log_z = log_z + global_log_mean_exp(log_w, axis)
+                return new_states, jnp.zeros_like(log_w), new_log_z
+            elif scheme == "collective":
+                new_states = ring_systematic_resample(u0, log_w, states, axis)
+                new_log_z = log_z + global_log_mean_exp(log_w, axis)
+                return new_states, jnp.zeros_like(log_w), new_log_z
+            else:  # island
+                anc = local_systematic_ancestors(u0, log_w, axis)
+                new_states = jax.tree_util.tree_map(lambda s: s[anc], states)
+                m = jnp.max(log_w)
+                island_lw = m + jnp.log(jnp.mean(jnp.exp(log_w - m)))
+                return new_states, jnp.full_like(log_w, island_lw), log_z
+
+        def step(carry, xs):
+            ys, n_valid, t0 = xs
+            states, log_w, log_z = carry
+            ess = global_ess(log_w, axis)
+            do_resample = ess < ess_threshold * n_particles
+            states_r, log_w_r, log_z_r = jax.lax.cond(
+                do_resample,
+                lambda _: resample(t0, states, log_w, log_z),
+                lambda _: (states, log_w, log_z),
+                operand=None,
+            )
+            k_prop = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.fold_in(key_rep, 2_000_000), t0
+                ),
+                my,
+            )
+            if model.fused_chunk_t_batch is not None:
+                new_states, new_log_w, _ = model.fused_chunk_t_batch(
+                    k_prop, states_r, log_w_r, ys, n_valid, t0
+                )
+            else:
+                new_states, new_log_w, _ = model.fused_chunk_batch(
+                    k_prop, states_r, log_w_r, ys, n_valid
+                )
+            return (new_states, new_log_w, log_z_r), (ess, do_resample)
+
+        (states_f, log_w_f, log_z), (ess_h, res_h) = jax.lax.scan(
+            step, (states, log_w, jnp.zeros(())), (ys_chunks, valid, t0s)
+        )
+        log_z = log_z + global_log_mean_exp(log_w_f, axis)
+        return states_f, log_w_f, log_z, ess_h, res_h, None
+
+    out_specs = (
+        P(PARTICLE_AXIS), P(PARTICLE_AXIS), P(), P(), P(), P(),
+    )
+    return _finish_smc_sharded(shard_body, mesh, out_specs, key,
+                               observations, None)

@@ -388,6 +388,58 @@ class TestBalancedResample:
                       & (np.asarray(bal) < 6 * n // 8))
 
 
+def test_sharded_smc_chunked_balanced(mesh, key):
+    """The pod-scale configuration: per-shard fused chunk hook + balanced
+    exact resampling at chunk boundaries.  The Pallas kernel needs TPU
+    hardware, so an XLA chunk implementation exercises the driver: evidence
+    must match the Kalman filter, and the balanced and collective schemes
+    must agree bit-for-bit."""
+    import dataclasses
+
+    HALF_LOG_2PI = 0.9189385332046727
+
+    def xla_chunk(key_, states, log_w, ys, n_valid):
+        def body(carry, inp):
+            x, w = carry
+            y, i = inp
+            eps = jax.random.normal(
+                jax.random.fold_in(key_, i), x.shape
+            )
+            nx = x + eps
+            d = y - nx
+            valid = i < n_valid
+            x = jnp.where(valid, nx, x)
+            w = jnp.where(valid, w + (-0.5 * d * d - HALF_LOG_2PI), w)
+            return (x, w), None
+
+        ts = jnp.arange(ys.shape[0], dtype=jnp.int32)
+        (x, w), _ = jax.lax.scan(body, (states, log_w), (ys, ts))
+        p = jax.nn.softmax(w)
+        return x, w, 1.0 / jnp.sum(p * p)
+
+    ssm = dataclasses.replace(linear_gaussian_ssm, fused_chunk_batch=xla_chunk)
+    obs = jnp.asarray(
+        np.random.RandomState(12).normal(0, 1.2, size=25), dtype=jnp.float32
+    )
+    res_b = smc_sharded(
+        ssm, obs, 16384, key, mesh=mesh, scheme="balanced", chunk=4,
+        balance_bound=512,
+    )
+    res_c = smc_sharded(
+        ssm, obs, 16384, key, mesh=mesh, scheme="collective", chunk=4,
+    )
+    assert float(res_b.log_evidence) == float(res_c.log_evidence)
+    assert np.array_equal(
+        np.asarray(res_b.final_states), np.asarray(res_c.final_states)
+    )
+    assert bool(np.asarray(res_b.resampled).any())
+    _, _, ll = kalman_filter_1d(obs)
+    assert abs(float(res_b.log_evidence) - float(ll)) < 0.2
+
+    with pytest.raises(ValueError):
+        smc_sharded(linear_gaussian_ssm, obs, 16384, key, mesh=mesh, chunk=4)
+
+
 def test_sharded_smc_balanced_bitwise_matches_collective(mesh, key):
     """End-to-end: the balanced scheme's SMC sweep reproduces the collective
     (exact-ring) sweep bit-for-bit on a continuous SSM — same evidence, same
