@@ -29,6 +29,7 @@ __all__ = [
     "continuous_resample_values",
     "sorted_systematic_resample_values",
     "sorted_systematic_resample_values_nd",
+    "morton_key",
 ]
 
 
@@ -284,6 +285,33 @@ def sorted_systematic_resample_values_nd(key, log_weights, states,
     )
     anc = jax.lax.cummax(anc)
     return sorted_s[anc]
+
+
+def morton_key(states, bits: int = 10):
+    """Z-order (Morton) sort key for (n, D) states, D <= 3: coordinates are
+    rank-normalized to ``bits``-bit integers and bit-interleaved.  A
+    locality-preserving key for :func:`sorted_systematic_resample_values_nd`
+    — the practical stand-in for the Hilbert ordering of Gerber & Chopin's
+    SQMC (Z-order preserves locality almost as well and is branch-free).
+    """
+    n, d = states.shape
+    if d > 3:
+        raise ValueError(f"morton_key supports D <= 3, got {d}")
+    # rank-normalize each coordinate (robust to scale/outliers)
+    ranks = jnp.argsort(jnp.argsort(states, axis=0), axis=0)
+    q = (ranks * ((1 << bits) - 1) // jnp.maximum(n - 1, 1)).astype(jnp.uint32)
+
+    def spread(x):
+        # insert d-1 zero bits between the bits of x
+        out = jnp.zeros_like(x)
+        for b in range(bits):
+            out = out | (((x >> b) & 1) << (b * d))
+        return out
+
+    keyv = jnp.zeros((n,), jnp.uint32)
+    for j in range(d):
+        keyv = keyv | (spread(q[:, j]) << j)
+    return keyv
 
 
 def continuous_resample_values(key, log_weights, states):

