@@ -154,6 +154,36 @@ def test_uniform_proposal_family(key):
     assert abs(float(res.mean("X")) - 1.0) < 0.1
 
 
+def test_infer_falls_back_when_model_branches_on_args(key):
+    """ADVICE r3 (low): the cached serving path traces args; a model doing
+    Python control flow on arg VALUES must fall back to baking them in
+    instead of raising ConcretizationTypeError."""
+    def m(y, flag):
+        mu = ct.sample(Normal(0.0, 2.0), addr="mu")
+        if float(flag) > 0:  # Python branch on a traced arg -> fallback
+            ct.observe(Normal(mu, 1.0), y, addr="y")
+        else:
+            ct.observe(Normal(mu, 4.0), y, addr="y")
+        ct.predict(mu, "Mu")
+
+    eng = CSIS(m, (0.0, 1.0))
+    params, _ = eng.compile(jax.random.key(0), steps=20, batch_size=32)
+    res = eng.infer(params, (2.0, 1.0), 500, key)
+    assert np.isfinite(np.asarray(res.log_weights)).all()
+    assert abs(float(res.mean("Mu"))) < 4.0
+
+
+def test_infer_defensive_accepts_jnp_scalar(key):
+    """ADVICE r3 (low): a jnp scalar defensive weight must not break the
+    cache key."""
+    eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
+    params, _ = eng.compile(jax.random.key(0), steps=20, batch_size=32)
+    res = eng.infer(
+        params, (3.0, 4.0), 500, key, defensive=jnp.float32(0.2)
+    )
+    assert np.isfinite(np.asarray(res.log_weights)).all()
+
+
 def test_csis_infer_is_jittable_end_to_end(key):
     eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
     params = eng.init(jax.random.key(0))
