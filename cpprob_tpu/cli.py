@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dynamic", action="store_true",
                    help="DynamicCSIS engine: bucketed training + host-side "
                         "guided particles for Python-dynamic model structure")
+    p.add_argument("--defensive", type=float, default=None, metavar="LAM",
+                   help="csis serving: defensive-mixture weight on the PRIOR "
+                        "at every guided site (Hesterberg DIS) — bounds "
+                        "importance weights by 1/LAM where the learned "
+                        "proposal under-covers")
     p.add_argument("--dump-traces-dir", default=None,
                    help="compile: dump prior-trace shards here instead of "
                         "training (cpprob::compile dump_folder)")
@@ -387,11 +392,15 @@ def main(argv=None) -> int:
             return 2
         params = load_pytree(ck, engine.init(jax.random.key(0)))
         if args.dynamic:
+            if args.defensive is not None:
+                print("--defensive is not supported with --dynamic",
+                      file=sys.stderr)
+                return 2
             result = engine.infer(params, observes, args.n_particles, key)
         else:
             result = engine.infer(
                 params, observes, args.n_particles, key,
-                batch_size=args.batch,
+                batch_size=args.batch, defensive=args.defensive,
             )
     else:  # sis
         result = sis(

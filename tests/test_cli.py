@@ -103,6 +103,17 @@ class TestEngineOptionFlags:
                    "-o", "3.0 4.0", "--ckpt-dir", ckpt, "--mdn", "3"])
         assert rc == 0
 
+    def test_defensive_flag(self, tmp_path, capsys):
+        ckpt = str(tmp_path / "nn")
+        rc = main(["--model", "gaussian", "-m", "compile", "--steps", "2",
+                   "--batch-size", "8", "--ckpt-dir", ckpt])
+        assert rc == 0
+        rc = main(["--model", "gaussian", "-m", "csis", "-n", "200",
+                   "-o", "3.0 4.0", "--ckpt-dir", ckpt,
+                   "--defensive", "0.2"])
+        assert rc == 0
+        assert "Mean" in capsys.readouterr().out
+
     def test_obs_embedding_lstm_flag(self, tmp_path):
         ckpt = str(tmp_path / "nn")
         rc = main(["--model", "gaussian", "-m", "compile", "--steps", "2",
