@@ -66,7 +66,18 @@ def main():
     z = float(r2.log_evidence)
     assert abs(z - float(ll)) < 0.3, (z, float(ll))
 
-    print(f"[{pid}] OK sis={m:.5f} smc={z:.4f}", flush=True)
+    # balanced scheme (exact, O(bound) boundary comm): the boundary ppermute
+    # and the scalar all_gather cross the real process boundary, and the
+    # result must be BITWISE the ring sweep's
+    r3 = smc_sharded(
+        linear_gaussian_ssm, obs, 16384, jax.random.key(1), mesh=mesh,
+        scheme="balanced", balance_bound=512,
+    )
+    zb = float(r3.log_evidence)
+    assert zb == z, (zb, z)
+
+    print(f"[{pid}] OK sis={m:.5f} smc={z:.4f} balanced={zb:.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":
