@@ -44,8 +44,11 @@ class StateSpaceModel:
 
     ``init_sample(key) -> state`` and ``step_sample(key, state, t) -> state``
     draw from the prior/transition (the SMC proposal by default);
-    ``*_logpdf`` evaluate the corresponding densities; ``obs_logpdf(state, y, t)``
-    is the emission density.  All callables must be JAX-traceable and operate
+    ``*_logpdf`` evaluate the corresponding densities —
+    ``step_logpdf(new_state, state, t)`` is log p(new_state | state) (NEW
+    state first; the guided RN correction and particle-Gibbs ancestor
+    weights call it with that order); ``obs_logpdf(state, y, t)`` is the
+    emission density.  All callables must be JAX-traceable and operate
     on a *single* particle — the engine vmaps them.
 
     Optional ``proposal_sample`` / ``proposal_logpdf`` (signature like
@@ -123,6 +126,10 @@ class StateSpaceModel:
     # chunk kernels (ops.pallas_ssm.attach_fused_vector_kernels).  Same
     # no-genealogy caveat.
     vector_state_dim: Optional[int] = None
+    # True when the model's fused_* hooks EMBED the proposal (guided fused
+    # kernels): the engine then keeps the fused/exchange fast paths enabled
+    # even though proposal_sample is set for the XLA fallback.
+    fused_hooks_guided: bool = False
 
 
 class SMCResult(NamedTuple):
@@ -427,7 +434,7 @@ def build_smc_run(
     resampler = get_resampler(resampling)
     guided = model.proposal_sample is not None
     exchange_ok = (
-        not guided
+        (not guided or model.fused_hooks_guided)
         and model.state_categories is not None
         and not store_history
         and resampling == "systematic"

@@ -13,6 +13,7 @@ from cpprob_tpu.ops.pallas_ssm import (
     _horner,
     _make_table_lookup,
     _poly_coeffs,
+    attach_fused_guided_discrete_kernels,
     attach_fused_guided_scalar_kernels,
     attach_fused_scalar_kernels,
     discrete_hmm_log_evidence,
@@ -354,6 +355,109 @@ class TestGuidedScalarKernelInterpret:
         ys = jnp.asarray(np.linspace(-1, 1, T), jnp.float32)
         res = jax.jit(run)(key, ys)
         assert np.isfinite(float(res.log_evidence))
+
+
+class TestGuidedDiscreteKernelInterpret:
+    """Fused guided discrete kernel: in-kernel categorical head must match
+    the smc_csis reference math.  interpret mode: u = 0, so the sampled
+    next state is always category 0."""
+
+    def _net(self, key, K=5, hidden=8):
+        from cpprob_tpu.inference import nn
+
+        return nn.mlp_init(key, [K + 2, hidden, hidden, K])
+
+    def test_matches_reference_math(self, key):
+        from cpprob_tpu.inference import nn
+
+        K, T = 5, 8
+        params = self._net(key, K)
+        ssm = attach_fused_guided_discrete_kernels(
+            TRANS5, MEANS5, STDS5, INIT5, params=params, T=T,
+            block_r=8, interpret=True,
+        )
+        n = 8 * 128
+        states = jnp.full((n,), 3, jnp.int32)
+        log_w = jnp.zeros((n,))
+        y, t = 0.5, jnp.int32(2)
+        s, w, ess, cat_w, lme = ssm.fused_step_exchange_batch(
+            jax.random.key(0), states, log_w, y, t,
+            jnp.int32(0), jnp.zeros((K - 1,), jnp.int32),
+        )
+        # reference: u=0 picks category 0
+        feats = jnp.concatenate([
+            jax.nn.one_hot(3, K), jnp.array([y]), jnp.array([2.0 / T]),
+        ])
+        raw = nn.mlp_apply(params, feats)
+        log_q0 = float(jax.nn.log_softmax(raw)[0])
+        lp = float(np.log(TRANS5[3, 0]))
+        log_g = (
+            -0.5 * ((y - MEANS5[0]) / STDS5[0]) ** 2
+            - np.log(STDS5[0]) - 0.5 * np.log(2 * np.pi)
+        )
+        expected = lp + log_g - log_q0
+        assert np.all(np.asarray(s) == 0)
+        np.testing.assert_allclose(np.asarray(w), expected, rtol=3e-4,
+                                   atol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(cat_w), [1.0, 0, 0, 0, 0], atol=1e-6
+        )
+
+    def test_rejects_wrong_net_or_k(self, key):
+        from cpprob_tpu.inference import nn
+
+        with pytest.raises(ValueError):
+            attach_fused_guided_discrete_kernels(
+                TRANS5, MEANS5, STDS5, INIT5,
+                params=nn.mlp_init(key, [3, 8, 8, 5]), T=8,
+            )
+        big = np.eye(9) * 0.5 + np.full((9, 9), 0.5 / 9)
+        big = big / big.sum(axis=1, keepdims=True)
+        with pytest.raises(ValueError):
+            attach_fused_guided_discrete_kernels(
+                big, np.zeros(9),
+                params=nn.mlp_init(key, [11, 8, 8, 9]), T=8,
+            )
+
+    def test_xla_guided_fallback_statistical(self, key):
+        """Without the kernels (hooks stripped), the attached
+        proposal_sample/logpdf run the engine's guided slow path and the
+        evidence matches the exact forward recursion — validating the RN
+        math the kernel replicates."""
+        import dataclasses
+
+        from cpprob_tpu.inference.smc import build_smc_run
+        from cpprob_tpu.inference.smc_csis import train_ssm_proposal
+
+        K, T = 5, 10
+        base = make_fused_discrete_ssm(TRANS5, MEANS5, STDS5, INIT5)
+        params, _ = train_ssm_proposal(
+            base, jax.random.key(0), T, kind="discrete", n_states=K,
+            steps=200, batch_size=256, hidden=16,
+        )
+        g = attach_fused_guided_discrete_kernels(
+            TRANS5, MEANS5, STDS5, INIT5, params=params, T=T,
+        )
+        g = dataclasses.replace(
+            g, fused_step_exchange_batch=None, fused_step_ess_batch=None,
+            fused_init_batch=None, fused_chunk_exchange_batch=None,
+            init_sample_batch=None, step_sample_batch=None,
+            obs_logpdf_batch=None, fused_hooks_guided=False,
+        )
+        rng = np.random.default_rng(1)
+        z = rng.choice(K, p=INIT5)
+        ys = []
+        for _ in range(T):
+            ys.append(MEANS5[z] + STDS5[z] * rng.standard_normal())
+            z = rng.choice(K, p=TRANS5[z])
+        ys = jnp.asarray(np.array(ys), jnp.float32)
+        run = jax.jit(build_smc_run(g, 16384))
+        lzs = [
+            float(np.asarray(run(jax.random.key(i), ys).log_evidence))
+            for i in range(4)
+        ]
+        exact = discrete_hmm_log_evidence(TRANS5, MEANS5, STDS5, INIT5, ys)
+        assert abs(np.mean(lzs) - exact) < 0.1, (np.mean(lzs), exact)
 
 
 class TestScalarKernelInterpret:

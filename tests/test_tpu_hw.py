@@ -129,6 +129,36 @@ def test_guided_fused_scalar_kernel_evidence():
     assert abs(lz - float(np.asarray(ll))) < 0.05, (lz, float(np.asarray(ll)))
 
 
+def test_guided_discrete_fused_kernel_evidence():
+    """The fused guided DISCRETE kernel (in-kernel categorical proposal head
+    + exchange resampling + exact RN weights) stays an exact evidence
+    estimator on the 5-state chain."""
+    from cpprob_tpu.inference.smc import build_smc_run
+    from cpprob_tpu.inference.smc_csis import train_ssm_proposal
+    from cpprob_tpu.ops.pallas_ssm import (
+        attach_fused_guided_discrete_kernels,
+        discrete_hmm_log_evidence,
+        make_fused_discrete_ssm,
+    )
+
+    K, T = 5, 12
+    base = make_fused_discrete_ssm(TRANS5, MEANS5, STDS5, INIT5)
+    params, losses = train_ssm_proposal(
+        base, jax.random.key(0), T, kind="discrete", n_states=K,
+        steps=300, batch_size=256, hidden=16,
+    )
+    assert float(losses[-20:].mean()) < float(losses[:20].mean())
+    g = attach_fused_guided_discrete_kernels(
+        TRANS5, MEANS5, STDS5, INIT5, params=params, T=T,
+    )
+    ys = _simulate(TRANS5, MEANS5, STDS5, INIT5, T=T, seed=3)
+    run = jax.jit(build_smc_run(g, 1 << 20, store_history=False))
+    lz = float(np.asarray(run(jax.random.key(1), ys).log_evidence))
+    exact = discrete_hmm_log_evidence(TRANS5, MEANS5, STDS5, INIT5,
+                                      np.asarray(ys))
+    assert abs(lz - exact) < 0.05, (lz, exact)
+
+
 def test_vector_fused_kernel_evidence():
     """The fused VECTOR chunk kernel (D=2 planes, per-dim hardware
     Box-Muller) + sorted-key vector resample: evidence vs the exact 2-D

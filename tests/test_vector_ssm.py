@@ -32,8 +32,9 @@ def make_lg2d():
         init_sample=lambda key: jax.random.normal(key, (2,)),
         init_logpdf=lambda s: jnp.sum(-0.5 * s * s - HALF_LOG_2PI),
         step_sample=lambda key, s, t: A_j @ s + jax.random.normal(key, (2,)),
-        step_logpdf=lambda s, s2, t: jnp.sum(
-            -0.5 * (s2 - A_j @ s) ** 2 - HALF_LOG_2PI
+        # engine convention: step_logpdf(new_state, state, t)
+        step_logpdf=lambda ns, s, t: jnp.sum(
+            -0.5 * (ns - A_j @ s) ** 2 - HALF_LOG_2PI
         ),
         obs_logpdf=obs_logpdf,
         vector_state_dim=2,
