@@ -246,6 +246,39 @@ def main():
           f"({gres['epochs']} epochs), logZ {gres['lz']:.3f} "
           f"vs kalman {float(np.asarray(ll)):.3f}", file=sys.stderr)
 
+    # --- 2c. GUIDED 5-state HMM through the fused guided discrete kernel ---
+    # (in-kernel categorical proposal head + exchange resampling + exact RN
+    # weights)
+    from cpprob_tpu.ops.pallas_ssm import attach_fused_guided_discrete_kernels
+
+    dparams, _ = train_ssm_proposal(
+        ssm5, jax.random.key(6), T, kind="discrete", n_states=5,
+        steps=300, batch_size=256, hidden=16,
+    )
+    g5 = attach_fused_guided_discrete_kernels(
+        TRANS5, MEANS5, STDS5, INIT5, params=dparams, T=T,
+    )
+    rung5_one = build_smc_run(g5, N, store_history=False)
+    rung5 = jax.jit(make_multi_sweep(rung5_one, ys5))
+    glzs = []
+
+    def gog5(key):
+        lz = rung5(key)
+        glzs.extend(np.asarray(lz).tolist())
+
+    dtg5 = timed(gog5, 500, iters=6, st=st, label="hmm5_guided") / SWEEPS
+    out["discrete_5state_guided_fused"] = {
+        "particle_steps_per_s": N * T / dtg5,
+        "sweep_s": dtg5,
+        "log_evidence_mean": float(np.mean(glzs)),
+        "log_evidence_std": float(np.std(glzs)),
+        "exact_log_evidence": exact5,
+        "proposal": "in-kernel categorical head [K+2,16,16,K]",
+        "builder": "attach_fused_guided_discrete_kernels (ops/pallas_ssm.py)",
+    }
+    print(f"5-state guided fused: {N*T/dtg5/1e9:.1f} G steps/s, "
+          f"logZ {np.mean(glzs):.4f} vs exact {exact5:.4f}", file=sys.stderr)
+
     # --- 3. resample epoch: streaming kernel vs XLA sorted-fill ------------
     log_w = jax.random.normal(jax.random.key(1), (N,)) * 2.0
     vals = jax.random.normal(jax.random.key(2), (N,))
