@@ -126,7 +126,7 @@ def main():
         obs.append(rng.normal(HMM_MEANS[z], 1.0))
     obs = jnp.asarray(np.asarray(obs, np.float32))
 
-    from cpprob_tpu.util.profiling import StageTimer
+    from cpprob_tpu.util.profiling import StageTimer, env_versions
 
     st = StageTimer()
     with st.stage("build"):
@@ -186,6 +186,7 @@ def main():
             "impl": impl,
             "chunk": chunk,
             "stages": st.as_dict(),
+            "versions": env_versions(),
         },
     }
     print(json.dumps(out))

@@ -363,13 +363,15 @@ def main(argv=None) -> int:
             loader = TraceLoader(paths, batch_size=args.batch_size,
                                  seed=args.seed)
             params, losses = engine.compile_offline(
-                loader, key, steps=args.steps, log_fn=logger.log, saver=saver,
+                loader, key, steps=args.steps, params=start_params,
+                log_fn=logger.log, saver=saver,
             )
             loader.close()
         else:
             params, losses = engine.compile(
                 key, steps=args.steps, batch_size=args.batch_size,
-                log_fn=logger.log, unroll=args.unroll, saver=saver,
+                params=start_params, log_fn=logger.log, unroll=args.unroll,
+                saver=saver,
             )
         if args.ckpt_dir:
             import time as _time

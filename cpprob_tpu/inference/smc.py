@@ -440,7 +440,7 @@ def build_smc_run(
         and resampling == "systematic"
     )
     sorted_ok = (
-        not guided
+        (not guided or model.fused_hooks_guided)
         and (model.scalar_state or model.vector_state_dim is not None)
         and model.state_categories is None
         and not store_history

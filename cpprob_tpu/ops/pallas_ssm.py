@@ -820,7 +820,10 @@ def _make_guided_scalar_chunk_kernel(params, trans_logpdf_elem,
             y = ys_ref[t]
             tf = (t0 + t).astype(jnp.float32) / float(T)
             mean, raw = mlp(x, y, tf)
-            std = jnp.log1p(jnp.exp(raw)) + 1e-6   # nn.softplus(+1e-6)
+            # Stable softplus (log1p(exp(raw)) overflows f32 for raw>~88),
+            # matching jax.nn.softplus used by guide_ssm/train_ssm_proposal
+            # so fused and XLA paths propose from the same q.
+            std = jnp.maximum(raw, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(raw)))
             nx = mean + std * eps
             log_q = -0.5 * eps * eps - jnp.log(std) - _HALF_LOG_2PI
             dlw = (
@@ -897,11 +900,40 @@ def attach_fused_guided_scalar_kernels(
             _key_to_seed(key), states, log_w, ys, n_valid, t0, ys.shape[0]
         )
 
+    # XLA fallback: serve the same net through the engine's guided slow
+    # path wherever the Pallas kernel is unavailable (chunk=1, history
+    # runs) so the trained guide is never silently dropped;
+    # fused_hooks_guided keeps the sorted-fill gate open for the chunked
+    # kernel (which carries the guide in-kernel).
+    from ..inference import nn as _nn
+
+    def _features(z_prev, y, t):
+        return jnp.stack([
+            jnp.asarray(z_prev, jnp.float32),
+            jnp.asarray(y, jnp.float32),
+            jnp.asarray(t, jnp.float32) / T,
+        ])
+
+    def proposal_sample(key, z_prev, t, y):
+        raw = _nn.mlp_apply(params, _features(z_prev, y, t))
+        mean, log_std = raw[0], raw[1]
+        return mean + _nn.softplus(log_std) * jax.random.normal(key, ())
+
+    def proposal_logpdf(z_new, z_prev, t, y):
+        raw = _nn.mlp_apply(params, _features(z_prev, y, t))
+        mean, log_std = raw[0], raw[1]
+        std = _nn.softplus(log_std)
+        d = (jnp.asarray(z_new, jnp.float32) - mean) / std
+        return -0.5 * d * d - jnp.log(std) - _HALF_LOG_2PI
+
     return dataclasses.replace(
         base_model,
+        proposal_sample=proposal_sample,
+        proposal_logpdf=proposal_logpdf,
         fused_chunk_t_batch=fused_chunk_t,
         fused_chunk_batch=None,
         fused_step_batch=None,
+        fused_hooks_guided=True,
     )
 
 

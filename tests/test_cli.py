@@ -56,6 +56,33 @@ class TestCompileResumeRoundtrip:
         out = capsys.readouterr().out
         assert "Mean" in out
 
+    def test_resume_warm_starts_standard_engine(self, tmp_path, capsys,
+                                                monkeypatch):
+        """--resume must actually pass the loaded params into the standard
+        (non-dynamic) engine's compile — the r4 advisor found it printed
+        'resuming from' yet silently retrained from scratch."""
+        from cpprob_tpu.inference.csis import CSIS
+
+        ckpt = str(tmp_path / "nn")
+        rc = main(["--model", "gaussian", "-m", "compile", "--steps", "2",
+                   "--batch-size", "8", "--ckpt-dir", ckpt, "--seed", "0"])
+        assert rc == 0
+
+        seen = {}
+        orig = CSIS.compile
+
+        def spy(self, key, *a, **kw):
+            seen["params"] = kw.get("params")
+            return orig(self, key, *a, **kw)
+
+        monkeypatch.setattr(CSIS, "compile", spy)
+        rc = main(["--model", "gaussian", "-m", "compile", "--steps", "2",
+                   "--batch-size", "8", "--ckpt-dir", ckpt, "--resume",
+                   "--seed", "1"])
+        assert rc == 0
+        assert "resuming from" in capsys.readouterr().err
+        assert seen["params"] is not None
+
     def test_resume_without_ckpt_dir_errors(self, capsys):
         assert main(["--model", "gaussian", "-m", "compile", "--resume"]) == 2
 

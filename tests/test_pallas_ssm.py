@@ -356,6 +356,48 @@ class TestGuidedScalarKernelInterpret:
         res = jax.jit(run)(key, ys)
         assert np.isfinite(float(res.log_evidence))
 
+    def test_xla_fallback_installed(self, key):
+        """The attach must also install proposal_sample/proposal_logpdf so
+        chunk=1 (kernel unavailable) serves the trained guide through the
+        engine's guided slow path instead of silently dropping it
+        (r4 advisor finding)."""
+        from cpprob_tpu.inference import nn
+        from cpprob_tpu.inference.smc import build_smc_run
+        from cpprob_tpu.models.linear_gaussian import linear_gaussian_ssm
+
+        params = self._net(key)
+        T = 4
+
+        def trans_lp(x, nx, t):
+            d = nx - x
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        def obs_lp(nx, y, t):
+            d = y - nx
+            return -0.5 * d * d - self.HALF_LOG_2PI
+
+        ssm = attach_fused_guided_scalar_kernels(
+            linear_gaussian_ssm, params, T,
+            trans_logpdf_elem=trans_lp, obs_logpdf_elem=obs_lp,
+            block_r=8, interpret=True,
+        )
+        assert ssm.proposal_sample is not None
+        assert ssm.fused_hooks_guided
+        # fallback logpdf must match the trained net exactly
+        raw = nn.mlp_apply(params, jnp.asarray([0.3, -0.1, 2.0 / T]))
+        std = nn.softplus(raw[1])
+        want = (
+            -0.5 * ((0.5 - raw[0]) / std) ** 2
+            - jnp.log(std) - self.HALF_LOG_2PI
+        )
+        got = ssm.proposal_logpdf(0.5, 0.3, 2, -0.1)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+        # chunk=1: the guided slow path must run (and stay finite)
+        run = build_smc_run(ssm, 256, store_history=False)
+        ys = jnp.asarray(np.linspace(-1, 1, T), jnp.float32)
+        res = jax.jit(run)(key, ys)
+        assert np.isfinite(float(res.log_evidence))
+
 
 class TestGuidedDiscreteKernelInterpret:
     """Fused guided discrete kernel: in-kernel categorical head must match
