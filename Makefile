@@ -7,10 +7,15 @@
 PY ?= python
 CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: check test native dryrun examples bench-quick tpu-test clean
+.PHONY: check test native dryrun examples bench-quick tpu-test docs clean
 
-check: native test dryrun examples bench-quick
+check: docs native test dryrun examples bench-quick
 	@echo "ALL CHECKS PASSED"
+
+# Every artifact-cited number in the docs must match the committed JSON it
+# cites (stale doc figures recurred three rounds running; now mechanical).
+docs:
+	$(PY) tools/check_doc_numbers.py
 
 native:
 	$(MAKE) -C native
