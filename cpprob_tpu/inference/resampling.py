@@ -27,6 +27,7 @@ __all__ = [
     "states_from_counts",
     "exchange_resample_discrete",
     "continuous_resample_values",
+    "continuous_resample_values_lme",
     "sorted_systematic_resample_values",
     "sorted_systematic_resample_values_nd",
     "morton_key",
@@ -338,6 +339,35 @@ def continuous_resample_values(key, log_weights, states):
                 key, log_weights, states
             )
     return sorted_systematic_resample_values(key, log_weights, states)
+
+
+def continuous_resample_values_lme(key, log_weights, states):
+    """Like :func:`continuous_resample_values` but also returns
+    ``log_mean_exp(log_weights)`` (the evidence increment).  On the
+    streaming-TPU path both the epoch's pass-1 normalization and the
+    evidence increment share ONE fused :func:`logsumexp_stats` sweep
+    (the separate XLA max / sum(exp) / log_mean_exp reductions cost
+    ~6 ms per epoch at 2^24 on v5e, measured r5)."""
+    n = log_weights.shape[0]
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and getattr(states, "ndim", 0) == 1
+        and states.dtype == jnp.float32
+    ):
+        from ..ops.pallas_resample import (
+            logsumexp_stats,
+            streaming_available,
+            streaming_systematic_resample_values,
+        )
+
+        if streaming_available(n):
+            m, wtot = logsumexp_stats(log_weights)
+            new_states = streaming_systematic_resample_values(
+                key, log_weights, states, m=m, wtot=wtot
+            )
+            return new_states, m + jnp.log(wtot) - jnp.log(float(n))
+    lme = jax.scipy.special.logsumexp(log_weights) - jnp.log(float(n))
+    return continuous_resample_values(key, log_weights, states), lme
 
 
 _RESAMPLERS = {

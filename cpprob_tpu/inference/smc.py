@@ -30,7 +30,7 @@ from .resampling import (
     category_counts_systematic,
     category_weights,
     get_resampler,
-    continuous_resample_values,
+    continuous_resample_values_lme,
     sorted_systematic_resample_values,
     states_from_counts,
 )
@@ -192,8 +192,10 @@ def make_smc_step(
 
         if sorted_fill:
             def resample_branch(_):
-                new_states = continuous_resample_values(k_res, log_w, states)
-                new_log_z = log_z + _log_mean_exp(log_w)
+                new_states, lme = continuous_resample_values_lme(
+                    k_res, log_w, states
+                )
+                new_log_z = log_z + lme
                 anc = jnp.arange(n_particles, dtype=jnp.int32)
                 return new_states, jnp.zeros_like(log_w), new_log_z, anc
         elif exchange:
@@ -376,8 +378,10 @@ def make_smc_step_chunked(
         do_resample = ess < ess_threshold * n_particles
 
         def resample_branch(_):
-            new_states = continuous_resample_values(k_res, log_w, states)
-            return new_states, jnp.zeros_like(log_w), log_z + _log_mean_exp(log_w)
+            new_states, lme = continuous_resample_values_lme(
+                k_res, log_w, states
+            )
+            return new_states, jnp.zeros_like(log_w), log_z + lme
 
         def keep_branch(_):
             return states, log_w, log_z

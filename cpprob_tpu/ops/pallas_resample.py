@@ -40,9 +40,17 @@ Unlike sorted-fill, inputs keep their arrival order (plain systematic
 resampling; the sorted path's extra stratification is traded for the
 epoch speedup).
 
-Pass 2 has two implementations (r4):
+Pass 2 has three implementations:
 
-- ``fast`` (default): tile-at-once fill — each while-iteration applies one
+- ``scatter`` (default, r5): scatter+prefix — each while-iteration
+  scatters a BATCH of 8 input groups into a per-tile (128,128) delta
+  array with one position-exact MXU contraction, and the tile pays a
+  single 2-D Hillis-Steele prefix at the end (the prefix telescopes, so
+  partial sums stay bounded by the state range — tighter than ``fast``
+  AND 2.1x faster: 23.4 ms vs 48 ms at 2^24 measured on v5e, epoch
+  total).  DMA windows are double-buffered (parity-flip on refetch), so
+  the r4 single-window anti-dependency hazard cannot occur.
+- ``fast`` (r4): tile-at-once fill — each while-iteration applies one
   full input row-group to the whole 16384-slot output tile (exact f32 VPU
   row-reduction for the full-rows part + a 3-way-bf16-split 128x128x128
   MXU contraction for the partial row), with Neumaier-compensated tile
@@ -66,10 +74,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_hmm import _LANES
 
-__all__ = ["streaming_systematic_resample_values", "streaming_available"]
+__all__ = ["streaming_systematic_resample_values", "streaming_available",
+           "logsumexp_stats"]
 
 _W = 128           # input window rows per DMA (128 x 128 particles)
 _OUT_GROUPS = 128  # output tile: 128 groups x 128 slots
+_SCATTER_G = 16      # input groups scattered per while-iteration (r5 pass 2)
+_SCATTER_SPLITS = 3  # bf16 split depth of the dv operand in the scatter dot
 
 
 def _lane_shift_right(x, k):
@@ -502,17 +513,274 @@ def _pass2_fast_kernel_vmem(scal_ref, st_ref, dv_ref, vals_ref, out_ref,
                      read_group, maybe_fetch)
 
 
-def _pass1(u0, log_w, states, interpret: bool = False):
+def _pass2_scatter_body(scal_ref, out_ref, D_ref, carry_ref, fcarry_ref,
+                        read_group, maybe_fetch, G: int):
+    """Scatter+prefix merge-fill (r5): the fastest pass-2 formulation.
+
+    Key identity: within one output tile, ``out(slot) = fc0 +
+    sum_{st_j <= slot} dv_j`` — a 2-D row-major *prefix* of a delta tile
+    ``D[r, c] = sum of dv_j with clamped (st_j - tile_base) == r*128 + c``
+    (inputs from revisited straddler groups with st below the tile clamp
+    to position (0,0), so the prefix propagates them everywhere; inputs
+    beyond the tile are gated off and revisited later).  So instead of
+    masking dv into *every* affected slot per group (the r4 ``fast`` body:
+    one full-row VPU reduction + one 128^3 MXU contraction per group),
+    each batch of ``G`` groups scatters its dv by ONE position-exact MXU
+    contraction ``m1 (128, G*128) @ E (G*128, 128)`` — ``m1[r, j] =
+    [st_j div 128 == r] * dv_j``, ``E[j, c] = [st_j mod 128 == c]`` —
+    and the tile pays a single Hillis-Steele 2-D prefix at the end.
+    Error is *smaller* than the r4 body: the prefix telescopes (partial
+    sums are bounded by the state range, no random walk), so no Neumaier
+    pass is needed; dv still takes a 3-way bf16 split for the dot.
+
+    Batching G groups per while-iteration amortizes the ~300-cycle scalar
+    loop overhead that dominated the r4 body (one group per iteration).
+    The tail batch near n_groups re-reads earlier rows with a per-group
+    ``bs + g >= ig`` gate, so no input is ever double-scattered."""
+    t = pl.program_id(0)
+    n_groups = scal_ref[0]
+    tile_slots = _OUT_GROUPS * _LANES
+    tile_base = t * tile_slots
+    tile_end = tile_base + tile_slots - 1
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0] = 0     # ig: first unconsumed group
+        fcarry_ref[0] = 0.0  # telescoped value carry
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    eye = (row_iota == lane_iota).astype(jnp.float32)
+    lane_iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    fc0 = fcarry_ref[0]
+    D_ref[:] = jnp.zeros((_OUT_GROUPS, _LANES), jnp.float32)
+
+    def body(state):
+        ig, fc, _stop = state
+        bs = jnp.minimum(ig, jnp.maximum(n_groups - G, 0))
+        maybe_fetch(bs)
+        m1_parts = []
+        rmod_rows = []
+        lasts = []
+        last_vals = []
+        for g in range(G):
+            gid = bs + g
+            valid_g = (gid >= ig) & (gid < n_groups)
+            st_row, dv_row, val_row = read_group(g)        # (1, 128)
+            rel = st_row - tile_base
+            valid_in = valid_g & (rel <= tile_slots - 1)
+            relc = jnp.maximum(rel, 0)
+            rdiv = relc // _LANES
+            rmod_rows.append((relc - rdiv * _LANES).astype(jnp.float32))
+            dv_g = jnp.where(valid_in, dv_row, 0.0)
+            m1_parts.append(
+                jnp.where(
+                    jax.lax.broadcast_in_dim(
+                        rdiv, (_LANES, _LANES), (0, 1)) == row_iota,
+                    jax.lax.broadcast_in_dim(
+                        dv_g, (_LANES, _LANES), (0, 1)),
+                    0.0,
+                )
+            )
+            lasts.append((jnp.max(st_row), valid_g))
+            last_vals.append(jnp.max(jnp.where(
+                lane_iota_row == _LANES - 1, val_row, -jnp.inf)))
+
+        # input lane positions -> sublane axis via ONE exact MXU transpose
+        # for the whole batch (rmod < 128: exact in bf16)
+        rmod_all = jnp.concatenate(rmod_rows, axis=0)      # (G, 128)
+        rmod_cols = jax.lax.dot_general(
+            eye, rmod_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (128, G)
+        e_parts = [
+            (lane_iota == jax.lax.broadcast_in_dim(
+                rmod_cols[:, g:g + 1], (_LANES, _LANES), (0, 1)
+            ).astype(jnp.int32)).astype(jnp.float32)
+            for g in range(G)
+        ]
+
+        m1 = jnp.concatenate(m1_parts, axis=1)             # (128, G*128)
+        e_mat = jnp.concatenate(e_parts, axis=0)           # (G*128, 128)
+        dims = (((1,), (0,)), ((), ()))
+        parts = []
+        rem = m1
+        for _ in range(_SCATTER_SPLITS - 1):
+            hi = rem.astype(jnp.bfloat16).astype(jnp.float32)
+            parts.append(hi)
+            rem = rem - hi
+        parts.append(rem)
+        acc = D_ref[:]
+        for p in parts:
+            acc = acc + jax.lax.dot_general(
+                p, e_mat, dims, preferred_element_type=jnp.float32
+            )
+        D_ref[:] = acc
+
+        # consumed count: st monotone across groups -> consumed flags are
+        # a prefix; count the leading run
+        cnt = jnp.int32(0)
+        run = jnp.bool_(True)
+        new_fc = fc
+        for g in range(G):
+            group_last, valid_g = lasts[g]
+            consumed_g = valid_g & (group_last <= tile_end) & run
+            new_fc = jnp.where(consumed_g, last_vals[g], new_fc)
+            cnt = cnt + consumed_g.astype(jnp.int32)
+            run = consumed_g
+        return ig + cnt, new_fc, cnt < G
+
+    def cond(state):
+        return jnp.logical_not(state[2])
+
+    ig, fc, _ = jax.lax.while_loop(
+        cond, body, (carry_ref[0], fc0, jnp.bool_(False))
+    )
+    out_ref[:] = _prefix_rows_lanes(D_ref[:]) + fc0
+    carry_ref[0] = ig
+    fcarry_ref[0] = fc
+
+
+def _pass2_scatter_kernel_dma(scal_ref, st_hbm, dv_hbm, vals_hbm, out_ref,
+                              st_win, dv_win, val_win, sems, D_ref,
+                              carry_ref, wcarry_ref, fcarry_ref, *, G: int):
+    """DMA plumbing for the scatter body with DOUBLE-BUFFERED windows:
+    each of the three (2*_W, 128) window scratches holds two _W-row
+    halves; every refetch flips the parity and lands in the other half,
+    so the previous batch's in-flight reads are never overwritten (the r4
+    single-window hazard — see the ROADMAP item-2 negative result).  The
+    window starts AT the batch base (not _W-aligned), overlapping
+    refetches by up to G rows (~6% extra DMA traffic)."""
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        wcarry_ref[0] = -(1 << 30)  # window base: none resident
+        wcarry_ref[1] = 0           # parity
+
+    n_groups = scal_ref[0]
+
+    def maybe_fetch(bs):
+        wb = wcarry_ref[0]
+        need = (bs < wb) | (bs + G > wb + _W)
+
+        @pl.when(need)
+        def _():
+            parity = 1 - wcarry_ref[1]
+            base = jnp.minimum(bs, jnp.maximum(n_groups - _W, 0))
+            off = parity * _W
+            cps = [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(base, _W), :],
+                    wref.at[pl.ds(off, _W), :],
+                    sems.at[slot],
+                )
+                for slot, (hbm, wref) in enumerate(
+                    ((st_hbm, st_win), (dv_hbm, dv_win), (vals_hbm, val_win))
+                )
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            wcarry_ref[0] = base
+            wcarry_ref[1] = parity
+
+        # record the batch->window offset for read_group
+        wcarry_ref[2] = wcarry_ref[1] * _W + (bs - wcarry_ref[0])
+
+    def read_group(g):
+        loc = wcarry_ref[2] + g
+        return (
+            st_win[pl.ds(loc, 1), :],
+            dv_win[pl.ds(loc, 1), :],
+            val_win[pl.ds(loc, 1), :],
+        )
+
+    _pass2_scatter_body(scal_ref, out_ref, D_ref, carry_ref, fcarry_ref,
+                        read_group, maybe_fetch, G)
+
+
+def _pass2_scatter_kernel_vmem(scal_ref, st_ref, dv_ref, vals_ref, out_ref,
+                               D_ref, carry_ref, wcarry_ref, fcarry_ref,
+                               *, G: int):
+    """Whole-array-in-VMEM scatter pass 2 (interpret mode)."""
+    n_groups = scal_ref[0]
+
+    def maybe_fetch(bs):
+        wcarry_ref[0] = bs
+
+    def read_group(g):
+        glob = wcarry_ref[0] + g
+        return (
+            st_ref[pl.ds(glob, 1), :],
+            dv_ref[pl.ds(glob, 1), :],
+            vals_ref[pl.ds(glob, 1), :],
+        )
+
+    _pass2_scatter_body(scal_ref, out_ref, D_ref, carry_ref, fcarry_ref,
+                        read_group, maybe_fetch, G)
+
+
+def _logsumexp_stats_kernel(lw_ref, out_ref):
+    """Per-block (max, shifted sum-exp) partials: the grid is embarrassingly
+    parallel (no carry), so the sweep streams at HBM bandwidth; the
+    128-element combine runs in XLA."""
+    lw = lw_ref[:]
+    m = jnp.max(lw)
+    s = jnp.sum(jnp.exp(lw - m))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    out_ref[:] = jnp.where(
+        (rid == 0) & (iota == 0), m,
+        jnp.where((rid == 0) & (iota == 1), s, 0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def logsumexp_stats(log_w, interpret: bool = False):
+    """One-sweep ``(m, wtot)`` with ``m = max(log_w)``, ``wtot =
+    sum(exp(log_w - m))`` — shared by the resample epoch's pass 1 and the
+    evidence update ``log_mean_exp = m + log(wtot) - log(n)``, so a chunk
+    boundary pays a single extra population sweep instead of four (the
+    XLA max + sum(exp(x-max)) pair costs ~3.3 ms at 2^24 on v5e)."""
+    n = log_w.shape[0]
+    r = n // _LANES
+    w1 = _W
+    while w1 < 1024 and r % (w1 * 2) == 0:
+        w1 *= 2
+    parts = pl.pallas_call(
+        _logsumexp_stats_kernel,
+        grid=(r // w1,),
+        in_specs=[pl.BlockSpec((w1, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * (r // w1), _LANES), jnp.float32),
+        interpret=interpret,
+    )(log_w.reshape(r, _LANES))
+    m_b = parts[::8, 0]
+    s_b = parts[::8, 1]
+    m = jnp.max(m_b)
+    wtot = jnp.sum(s_b * jnp.exp(m_b - m))
+    return m, wtot
+
+
+def _pass1(u0, log_w, states, interpret: bool = False, m=None, wtot=None):
     """Start slots + value diffs (one streaming sweep).  Exposed separately
     so tests can check pass 2 against an exact expansion of pass 1's own
-    (f32-arithmetic) start slots."""
+    (f32-arithmetic) start slots.  ``m``/``wtot``: optionally precomputed
+    (:func:`logsumexp_stats`, or threaded from a fused sweep's streaming
+    partials) — skips the XLA max/sum prologue."""
     n = states.shape[0]
     r = n // _LANES
     lw2 = log_w.reshape(r, _LANES)
     v2 = states.reshape(r, _LANES)
 
-    m = jnp.max(log_w)
-    wtot = jnp.sum(jnp.exp(log_w - m))
+    if m is None or wtot is None:
+        m, wtot = logsumexp_stats(log_w, interpret=interpret)
     scal1 = jnp.stack([
         m, 1.0 / wtot, jnp.asarray(u0, jnp.float32), jnp.float32(n),
     ])
@@ -539,14 +807,58 @@ def _pass1(u0, log_w, states, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "impl"))
 def _streaming_resample(u0, log_w, states, interpret: bool = False,
-                        impl: str = "fast"):
+                        impl: str = "scatter", m=None, wtot=None):
     n = states.shape[0]
     r = n // _LANES
     v2 = states.reshape(r, _LANES)
-    st, dv = _pass1(u0, log_w, states, interpret=interpret)
+    st, dv = _pass1(u0, log_w, states, interpret=interpret, m=m, wtot=wtot)
 
     # ---- pass 2: merge-fill ----
     n_out_tiles = r // _OUT_GROUPS
+    if impl == "scatter":
+        G = _SCATTER_G
+        if interpret:
+            kernel, in_space, scratch = (
+                functools.partial(_pass2_scatter_kernel_vmem, G=G),
+                pltpu.VMEM,
+                [
+                    pltpu.VMEM((_OUT_GROUPS, _LANES), jnp.float32),  # D
+                    pltpu.SMEM((1,), jnp.int32),    # ig carry
+                    pltpu.SMEM((3,), jnp.int32),    # window carry
+                    pltpu.SMEM((1,), jnp.float32),  # fc carry
+                ],
+            )
+        else:
+            kernel, in_space, scratch = (
+                functools.partial(_pass2_scatter_kernel_dma, G=G),
+                pl.ANY,
+                [
+                    pltpu.VMEM((2 * _W, _LANES), jnp.int32),
+                    pltpu.VMEM((2 * _W, _LANES), jnp.float32),
+                    pltpu.VMEM((2 * _W, _LANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA((3,)),
+                    pltpu.VMEM((_OUT_GROUPS, _LANES), jnp.float32),  # D
+                    pltpu.SMEM((1,), jnp.int32),
+                    pltpu.SMEM((3,), jnp.int32),
+                    pltpu.SMEM((1,), jnp.float32),
+                ],
+            )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_out_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=in_space),
+                pl.BlockSpec(memory_space=in_space),
+                pl.BlockSpec(memory_space=in_space),
+            ],
+            out_specs=pl.BlockSpec((_OUT_GROUPS, _LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(jnp.asarray([r], jnp.int32), st, dv, v2)
+        return out.reshape(n)
     comp_scratch = (
         [pltpu.VMEM((_OUT_GROUPS, _LANES), jnp.float32)]
         if impl == "fast" else []
@@ -598,10 +910,13 @@ def streaming_available(n: int) -> bool:
 
 
 def streaming_systematic_resample_values(key, log_weights, states,
-                                         interpret: bool = False):
+                                         interpret: bool = False,
+                                         m=None, wtot=None):
     """Systematic resampling of a scalar f32 population; returns the new
     state values under a fixed slot enumeration (see module docstring).
     Drop-in alternative to ``sorted_systematic_resample_values`` when
-    ``streaming_available(n)``."""
+    ``streaming_available(n)``.  ``m``/``wtot``: optional precomputed
+    weight stats (skips the epoch's own logsumexp sweep)."""
     u0 = jax.random.uniform(key, ())
-    return _streaming_resample(u0, log_weights, states, interpret=interpret)
+    return _streaming_resample(u0, log_weights, states, interpret=interpret,
+                               m=m, wtot=wtot)

@@ -17,11 +17,12 @@ import pytest
 from cpprob_tpu.ops.pallas_resample import (
     _pass1,
     _streaming_resample,
+    logsumexp_stats,
     streaming_available,
 )
 
 
-@pytest.mark.parametrize("impl", ["merge", "fast"])
+@pytest.mark.parametrize("impl", ["merge", "fast", "scatter"])
 @pytest.mark.parametrize("n_tiles", [1, 3])
 def test_exact_vs_own_starts(n_tiles, impl):
     """Pass 2 must expand pass 1's start slots EXACTLY (the f32 boundary
@@ -42,7 +43,7 @@ def test_exact_vs_own_starts(n_tiles, impl):
         _streaming_resample(jnp.float32(u0), jnp.asarray(log_w),
                             jnp.asarray(vals), interpret=True, impl=impl)
     )
-    if impl == "fast":
+    if impl in ("fast", "scatter"):
         # fast kernel slot enumeration is row-major within the tile
         remap = out.ravel()
     else:
@@ -71,7 +72,7 @@ def _reference_expand(u0, log_w, vals):
     return out
 
 
-@pytest.mark.parametrize("impl", ["merge", "fast"])
+@pytest.mark.parametrize("impl", ["merge", "fast", "scatter"])
 @pytest.mark.parametrize("n_tiles", [1, 2])
 def test_multiset_and_moments(n_tiles, impl):
     rng = np.random.default_rng(0)
@@ -105,7 +106,7 @@ def test_multiset_and_moments(n_tiles, impl):
     assert abs(out.mean() - wmean) < 6 * se, (out.mean(), wmean, se)
 
 
-@pytest.mark.parametrize("impl", ["merge", "fast"])
+@pytest.mark.parametrize("impl", ["merge", "fast", "scatter"])
 def test_degenerate_one_heavy_particle(impl):
     """One particle carries ~all the weight: every slot must copy it."""
     n = 128 * 128
@@ -121,7 +122,7 @@ def test_degenerate_one_heavy_particle(impl):
     assert (out == 12345.0).mean() > 0.999
 
 
-@pytest.mark.parametrize("impl", ["merge", "fast"])
+@pytest.mark.parametrize("impl", ["merge", "fast", "scatter"])
 def test_uniform_weights_identity_multiset(impl):
     """Equal weights: the resampled multiset equals the input multiset."""
     n = 128 * 128
@@ -134,3 +135,28 @@ def test_uniform_weights_identity_multiset(impl):
     )
     agree = np.isclose(np.sort(out), np.sort(vals), atol=1e-4).mean()
     assert agree > 0.995, agree
+
+
+def test_logsumexp_stats_matches_xla():
+    """One-sweep (m, wtot) must match the XLA max/sum(exp) pair."""
+    rng = np.random.default_rng(7)
+    lw = jnp.asarray(rng.normal(0, 3, 128 * 128 * 2).astype(np.float32))
+    m, wtot = logsumexp_stats(lw, interpret=True)
+    m_ref = jnp.max(lw)
+    wtot_ref = jnp.sum(jnp.exp(lw - m_ref))
+    np.testing.assert_allclose(float(m), float(m_ref), rtol=0)
+    np.testing.assert_allclose(float(wtot), float(wtot_ref), rtol=1e-5)
+
+
+def test_precomputed_stats_match_default():
+    """Threading (m, wtot) into the epoch must reproduce the epoch that
+    computes them itself (same u0 -> identical slot boundaries)."""
+    rng = np.random.default_rng(8)
+    n = 128 * 128
+    lw = jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
+    base = _streaming_resample(jnp.float32(0.4), lw, v, interpret=True)
+    m, wtot = logsumexp_stats(lw, interpret=True)
+    thread = _streaming_resample(jnp.float32(0.4), lw, v, interpret=True,
+                                 m=m, wtot=wtot)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(thread))
