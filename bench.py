@@ -30,14 +30,19 @@ def main():
     ap.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
     ap.add_argument("--block-r", type=int, default=512,
                     help="Pallas block rows (particles per block = 128*block_r)")
-    ap.add_argument("--chunk", type=int, default=8,
+    ap.add_argument("--chunk", type=int, default=16,
                     help="timesteps fused per kernel launch (pallas impl): "
                          "particle tiles stay VMEM-resident across the chunk; "
-                         "ESS resample checks move to chunk boundaries. "
-                         "1 = per-step kernel.  8 keeps ESS-triggered "
-                         "resampling live at T=16 (91G steps/s measured, "
-                         "logZ std unchanged); 16 fuses the whole sweep "
-                         "(143G) but then no interior ESS check can fire")
+                         "boundary ESS resample checks move to chunk edges. "
+                         "1 = per-step kernel.  16 fuses the whole sweep; "
+                         "combined with --island-every the ESS trigger "
+                         "stays live INSIDE the fused sweep")
+    ap.add_argument("--island-every", type=int, default=4,
+                    help="interior steps between per-VMEM-block ESS checks "
+                         "inside the fused chunk kernel; on collapse the "
+                         "block exchange-resamples itself in VMEM (island "
+                         "scheme at the memory hierarchy level).  0 = off "
+                         "(r4 behavior: checks only at chunk boundaries)")
     ap.add_argument("--sweeps-per-call", type=int, default=16,
                     help="independent SMC sweeps scanned inside ONE jitted "
                          "call — amortizes the fixed host dispatch+fetch "
@@ -111,7 +116,8 @@ def main():
             else "xla"
         )
     model = (
-        make_pallas_hmm_ssm(block_r=args.block_r)
+        make_pallas_hmm_ssm(block_r=args.block_r,
+                            island_every=args.island_every)
         if impl == "pallas"
         else hmm_ssm
     )
@@ -167,6 +173,32 @@ def main():
         log_zs_np = np.asarray(log_zs)
         resampled_np = np.asarray(resampled)
 
+    # diagnostic: with interior island checks, count how often they fire
+    # (per block, mean) on a sweep-shaped chunk call — evidence that the
+    # ESS trigger is LIVE inside the fused sweep, not compiled away
+    island_resamples_mean = None
+    if impl == "pallas" and args.island_every > 0 and chunk == T:
+        from cpprob_tpu.ops.pallas_hmm import (
+            _key_to_seed,
+            pallas_hmm_fused_chunk,
+        )
+
+        k1, k2 = jax.random.split(jax.random.key(123))
+        s0, w0, _, cat_w0, _ = model.fused_init_batch(k1, n_particles,
+                                                      obs[0])
+        cum = jnp.cumsum(cat_w0)[:2]
+        u0 = jax.random.uniform(jax.random.key(7), ())
+        ticks = jnp.clip(
+            jnp.ceil(n_particles * cum - u0), 0, n_particles
+        ).astype(jnp.int32)
+        _, _, _, _, _, parts = pallas_hmm_fused_chunk(
+            _key_to_seed(k2), s0, w0, obs[1:].reshape(-1),
+            jnp.int32(T - 1), jnp.int32(1), ticks,
+            n_steps=T - 1, block_r=args.block_r,
+            island_every=args.island_every, return_partials=True,
+        )
+        island_resamples_mean = float(np.asarray(parts)[::8, 6].mean())
+
     particle_steps_per_sec = n_particles * T / dt
     out = {
         "metric": "smc_hmm_particle_steps_per_sec_per_chip",
@@ -180,6 +212,8 @@ def main():
             "log_evidence": float(np.mean(log_zs_np)),
             "log_evidence_std": float(np.std(log_zs_np)),
             "resample_epochs": float(resampled_np.sum(axis=1).mean()),
+            "island_every": args.island_every if impl == "pallas" else 0,
+            "island_resamples_per_block_mean": island_resamples_mean,
             "sweeps_per_call": sweeps,
             "device": str(jax.devices()[0]),
             "iters": iters,

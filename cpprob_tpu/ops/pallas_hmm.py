@@ -242,6 +242,167 @@ def pallas_hmm_fused_step_exchange(
     return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
 
 
+def _make_chunk_kernel_island(n_steps: int, hw_prng: bool,
+                              island_every: int, island_thresh: float):
+    """Whole-sweep fused HMM kernel WITH chunk-interior adaptive
+    resampling (VERDICT r5 item 4): every ``island_every`` steps each
+    (block_r, 128) particle tile checks its OWN Kish ESS and, on collapse
+    below ``island_thresh``, performs a BLOCK-LOCAL exchange resample
+    entirely in VMEM — the island scheme applied at the memory-hierarchy
+    level (islands = VMEM-resident tiles), so the whole-sweep fusion
+    keeps zero interior HBM traffic while the ESS trigger stays live.
+
+    Instead of resetting weights to 0 and carrying a per-block evidence
+    channel, the resample sets every weight in the block to the block's
+    pre-resample log-mean weight ``lme_b = m + log(se) - log(n_blk)`` —
+    total weight mass is preserved, cross-block weight offsets keep
+    encoding relative island evidence, and the driver's existing
+    logsumexp-over-everything evidence estimator is exactly unbiased
+    with no changes.  Cost: 3 reduction passes per check (amortized
+    1/island_every per step); the resample body runs under ``pl.when``
+    so its ~4 passes are paid only when a block actually collapses.
+
+    The per-block resample is exact systematic exchange resampling of
+    the tile's categorical states (counts from the tile's category
+    weights, states rebuilt sorted from tick boundaries), driven by one
+    hardware-PRNG uniform."""
+    c = _TRANS_CDF
+    c0p = (
+        float(c[0, 0]),
+        float(2 * c[1, 0] - 1.5 * c[0, 0] - 0.5 * c[2, 0]),
+        float(0.5 * (c[0, 0] + c[2, 0]) - c[1, 0]),
+    )
+    c1p = (
+        float(c[0, 1]),
+        float(2 * c[1, 1] - 1.5 * c[0, 1] - 0.5 * c[2, 1]),
+        float(0.5 * (c[0, 1] + c[2, 1]) - c[1, 1]),
+    )
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
+               out_s_ref, out_w_ref, part_ref, s_ref, w_ref, cnt_ref):
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+        cnt_ref[0] = 0.0
+
+        block_r = states_ref.shape[0]
+        n_blk = float(block_r * _LANES)
+        flag = ctrl_ref[0] > 0
+        n_valid = ctrl_ref[3]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
+        j = (i * block_r + rowid) * _LANES + lane
+        j_local = (rowid * _LANES + lane).astype(jnp.float32)
+        synth = (j >= ctrl_ref[1]).astype(jnp.float32) + (
+            j >= ctrl_ref[2]
+        ).astype(jnp.float32)
+        s_ref[:] = jnp.where(flag, synth, states_ref[:].astype(jnp.float32))
+        w_ref[:] = jnp.where(flag, 0.0, logw_ref[:])
+
+        bits32 = None
+        for t in range(n_steps):
+            s = s_ref[:]
+            w = w_ref[:]
+            if hw_prng:
+                if t % 2 == 0:
+                    bits32 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                    )
+                    half = jax.lax.bitwise_and(bits32, jnp.int32(0xFFFF))
+                else:
+                    half = jax.lax.shift_right_logical(bits32, 16)
+                u = half.astype(jnp.float32) * (1.0 / 65536.0)
+            else:
+                u = jnp.zeros(states_ref.shape, jnp.float32)
+            c0 = c0p[0] + s * (c0p[1] + s * c0p[2])
+            c1 = c1p[0] + s * (c1p[1] + s * c1p[2])
+            ns = (u >= c0).astype(jnp.float32) + (u >= c1).astype(jnp.float32)
+            y = ys_ref[t]
+            d = (y + 1.0) - ns
+            nw = w + (-0.5 * d * d - _HALF_LOG_2PI)
+            valid = t < n_valid
+            s_ref[:] = jnp.where(valid, ns, s)
+            w_ref[:] = jnp.where(valid, nw, w)
+
+            if (t + 1) % island_every == 0 and t < n_steps - 1:
+                # ESS toll: 3 reduction passes over the tile
+                w = w_ref[:]
+                m = jnp.max(w)
+                e = jnp.exp(w - m)
+                se = jnp.sum(e)
+                se2 = jnp.sum(e * e)
+                collapse = (
+                    (se * se < island_thresh * n_blk * se2)
+                    & ((t + 1) < n_valid)
+                )
+
+                @pl.when(collapse)
+                def _():
+                    s_cur = s_ref[:]
+                    cw0 = jnp.sum(jnp.where(s_cur == 0.0, e, 0.0))
+                    cw1 = jnp.sum(jnp.where(s_cur == 1.0, e, 0.0))
+                    if hw_prng:
+                        ub = pltpu.bitcast(
+                            pltpu.prng_random_bits((8, _LANES)), jnp.int32
+                        )
+                        u16 = jax.lax.bitwise_and(
+                            ub, jnp.int32(0xFFFF)
+                        ).astype(jnp.float32) * (1.0 / 65536.0)
+                        pr = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, _LANES), 0)
+                        pc = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, _LANES), 1)
+                        u0 = jnp.max(
+                            jnp.where((pr == 0) & (pc == 0), u16, 0.0))
+                    else:
+                        u0 = jnp.float32(0.5)
+                    # exact systematic category ticks from block-local
+                    # category weights (same construction as the
+                    # chunk-boundary exchange resample)
+                    tick0 = jnp.clip(
+                        jnp.ceil(n_blk * (cw0 / se) - u0), 0.0, n_blk)
+                    tick1 = jnp.clip(
+                        jnp.ceil(n_blk * ((cw0 + cw1) / se) - u0),
+                        0.0, n_blk)
+                    s_ref[:] = (
+                        (j_local >= tick0).astype(jnp.float32)
+                        + (j_local >= tick1).astype(jnp.float32)
+                    )
+                    # preserve total weight mass: uniform weights at the
+                    # block's log-mean weight keep cross-block offsets
+                    # meaningful (island evidence), so the driver's global
+                    # logsumexp evidence estimator needs no changes
+                    lme_b = m + jnp.log(se) - jnp.log(n_blk)
+                    w_ref[:] = jnp.full(
+                        (block_r, _LANES), lme_b, jnp.float32)
+                    cnt_ref[0] = cnt_ref[0] + 1.0
+
+        s = s_ref[:]
+        w = w_ref[:]
+        out_s_ref[:] = s.astype(jnp.int32)
+        out_w_ref[:] = w
+
+        m = jnp.max(w)
+        e = jnp.exp(w - m)
+        vals = (
+            m,
+            jnp.sum(e),
+            jnp.sum(e * e),
+            jnp.sum(jnp.where(s == 0.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 1.0, e, 0.0)),
+            jnp.sum(jnp.where(s == 2.0, e, 0.0)),
+            cnt_ref[0],           # interior island resamples in this block
+        )
+        plane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        row = jnp.zeros((8, _LANES), jnp.float32)
+        for idx, v in enumerate(vals):
+            row = jnp.where((prow == 0) & (plane == idx), v, row)
+        part_ref[:, :] = row
+
+    return kernel
+
+
 def _make_chunk_kernel(n_steps: int, hw_prng: bool):
     """Multi-step fused HMM kernel: ``n_steps`` transition+reweight updates
     executed back-to-back on a VMEM-resident particle tile — ONE HBM
@@ -340,17 +501,29 @@ def _make_chunk_kernel(n_steps: int, hw_prng: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "block_r", "interpret")
+    jax.jit, static_argnames=("n_steps", "block_r", "interpret",
+                              "island_every", "island_thresh",
+                              "return_partials")
 )
 def pallas_hmm_fused_chunk(
     seed, states, log_w, ys, n_valid, flag, ticks,
     n_steps: int, block_r: int = _BLOCK_R, interpret: bool = False,
+    island_every: int = 0, island_thresh: float = 0.5,
+    return_partials: bool = False,
 ):
     """Fused multi-step chunk (``n_steps`` HMM updates in one launch) with
     flagged chunk-start exchange resampling.  ``ys``: (n_steps,) f32
     observations; ``n_valid``: int32 count of valid steps (ragged tail);
     ``flag``/``ticks`` as in :func:`pallas_hmm_fused_step_exchange`.
-    Returns (new_states, new_log_w, ess, cat_w(3,), lme)."""
+    Returns (new_states, new_log_w, ess, cat_w(3,), lme).
+
+    ``island_every`` > 0 enables chunk-INTERIOR adaptive resampling: each
+    VMEM block checks its own ESS every that many steps and exchange-
+    resamples itself in VMEM on collapse below ``island_thresh`` (see
+    :func:`_make_chunk_kernel_island`) — ESS-triggered resampling stays
+    live even with the whole sweep fused into one launch.
+    ``return_partials`` additionally returns the raw per-block partials
+    (slot 6 of each block row = interior resamples fired)."""
     n = states.shape[0]
     r = n // _LANES
     assert r * _LANES == n and r % block_r == 0, (n, block_r)
@@ -364,8 +537,22 @@ def pallas_hmm_fused_chunk(
             jnp.asarray(n_valid, jnp.int32).reshape(1),
         ]
     )
+    if island_every > 0:
+        kernel = _make_chunk_kernel_island(
+            n_steps, hw_prng=not interpret, island_every=island_every,
+            island_thresh=island_thresh,
+        )
+        scratch = [
+            pltpu.VMEM((block_r, _LANES), jnp.float32),
+            pltpu.VMEM((block_r, _LANES), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+        ]
+    else:
+        kernel = _make_chunk_kernel(n_steps, hw_prng=not interpret)
+        scratch = []
     out_s, out_w, partials = pl.pallas_call(
-        _make_chunk_kernel(n_steps, hw_prng=not interpret),
+        kernel,
+        scratch_shapes=scratch,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -398,6 +585,9 @@ def pallas_hmm_fused_chunk(
         w2,
     )
     ess, cat_w, lme = stats_from_partials(partials, n)
+    if return_partials:
+        return (out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme,
+                partials)
     return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
 
 
@@ -763,10 +953,16 @@ def pallas_available(n_particles: int, block_r: int = _BLOCK_R) -> bool:
     return n_particles % (_LANES * block_r) == 0
 
 
-def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
+def make_pallas_hmm_ssm(block_r: int = _BLOCK_R, island_every: int = 0,
+                        island_thresh: float = 0.5):
     """HMM StateSpaceModel whose propagate+reweight runs in the fused Pallas
     kernel; init/emission-at-t0/resampling stay on the XLA path (they run once
-    or operate on weights only)."""
+    or operate on weights only).
+
+    ``island_every`` > 0: chunk kernels check per-VMEM-block ESS every that
+    many interior steps and exchange-resample the block in VMEM on collapse
+    (island scheme at the memory-hierarchy level) — lets whole-sweep fusion
+    (``chunk=T``) keep ESS-triggered resampling live."""
     from ..models.hmm import hmm_ssm
 
     def fused(key, states, log_w, y, t):
@@ -788,6 +984,7 @@ def make_pallas_hmm_ssm(block_r: int = _BLOCK_R):
         return pallas_hmm_fused_chunk(
             _key_to_seed(key), states, log_w, ys, n_valid, flag, ticks,
             n_steps=ys.shape[0], block_r=block_r,
+            island_every=island_every, island_thresh=island_thresh,
         )
 
     def fused_init(key, n, y0):

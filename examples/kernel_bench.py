@@ -1,4 +1,4 @@
-"""Generated-kernel + streaming-resample benchmarks -> KERNELS_r04.json.
+"""Generated-kernel + streaming-resample benchmarks -> KERNELS_r05.json.
 
 Measures, on the real TPU chip, the kernel-from-spec deliverables:
 
@@ -13,7 +13,7 @@ Measures, on the real TPU chip, the kernel-from-spec deliverables:
 Every timed region is closed by a host transfer (remote-backend
 block_until_ready returns early).
 
-Usage: python examples/kernel_bench.py [--n 24] [--out KERNELS_r04.json]
+Usage: python examples/kernel_bench.py [--n 24] [--out KERNELS_r05.json]
 """
 
 import argparse
@@ -183,7 +183,7 @@ def main():
         "log_evidence_mean": res_holder["lz"],
         "kalman_log_evidence": float(np.asarray(ll)),
         "sweeps_per_call": SWEEPS,
-        "epoch_resampler": "streaming Pallas merge (ops/pallas_resample.py)",
+        "epoch_resampler": "streaming Pallas scatter+prefix (ops/pallas_resample.py)",
     }
     print(f"LG live-resample: {N*T/dtlg/1e9:.2f} G steps/s "
           f"({res_holder['epochs']} epochs), logZ {res_holder['lz']:.3f} "
@@ -305,7 +305,10 @@ def main():
           file=sys.stderr)
 
     out["stages"] = st.as_dict()
-    path = args.out or os.path.join(repo, "KERNELS_r04.json")
+    from cpprob_tpu.util.profiling import env_versions
+
+    out["versions"] = env_versions()
+    path = args.out or os.path.join(repo, "KERNELS_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")

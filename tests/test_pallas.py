@@ -259,3 +259,45 @@ def test_chunked_smc_matches_per_step_path():
     assert abs(np.mean(z_c) - np.mean(z_s)) < 4.0 * (
         np.std(z_c) + np.std(z_s) + 1e-3
     ) / np.sqrt(6)
+
+
+def test_island_interior_resample_interpret():
+    """Chunk-interior island resampling (r5): per-VMEM-block ESS checks
+    every island_every steps with in-block exchange resampling.
+
+    - threshold 0 (never collapse) must be bitwise-identical to the plain
+      chunk kernel;
+    - threshold 2 (always collapse) must fire at every interior check
+      (t+1 multiple of island_every, strictly before the final step),
+      reset the block to full ESS, and keep weights finite with the
+      block's mass preserved (uniform weights at the pre-resample
+      log-mean, NOT zero)."""
+    from cpprob_tpu.ops.pallas_hmm import pallas_hmm_fused_chunk
+
+    n = 128 * 128 * 2
+    states = jnp.zeros((n,), jnp.int32)
+    log_w = jnp.zeros((n,), jnp.float32)
+    ys = jnp.asarray(np.linspace(-1, 1, 16), jnp.float32)
+    args = (jnp.int32(7), states, log_w, ys, jnp.int32(16), jnp.int32(0),
+            jnp.zeros((2,), jnp.int32))
+    kw = dict(n_steps=16, block_r=128, interpret=True)
+
+    base = pallas_hmm_fused_chunk(*args, **kw)
+    off = pallas_hmm_fused_chunk(*args, island_every=4, island_thresh=0.0,
+                                 **kw)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(off[0]))
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(off[1]))
+
+    s, w, ess, cat_w, lme, partials = pallas_hmm_fused_chunk(
+        *args, island_every=4, island_thresh=2.0, return_partials=True,
+        **kw)
+    counts = np.asarray(partials)[::8, 6]
+    np.testing.assert_array_equal(counts, [3.0, 3.0])  # t = 3, 7, 11
+    w = np.asarray(w)
+    assert np.isfinite(w).all()
+    # interpret mode is deterministic (u = 0): every particle identical,
+    # so the resampled block has full ESS and uniform weights at the
+    # block log-mean (non-zero: mass preserved)
+    assert float(ess) == n
+    assert abs(w.max() - w.min()) < 1e-5
+    assert w.max() < 0.0
