@@ -92,6 +92,10 @@ class StateSpaceModel:
     # (key, states, log_w, ys, n_valid, flag, ticks) ->
     #     (s', w', ess', cat_w'(K,), lme')
     fused_chunk_exchange_batch: Optional[Callable] = None
+    # Time-aware variant (guided discrete kernels whose in-kernel proposal
+    # features include t/T): same signature plus a trailing t0 (absolute
+    # timestep of the chunk's first update).  Takes precedence.
+    fused_chunk_exchange_t_batch: Optional[Callable] = None
     # Continuous-state version, resample stays on the XLA side:
     # (key, states, log_w, ys, n_valid) -> (s', w', ess')
     fused_chunk_batch: Optional[Callable] = None
@@ -333,8 +337,13 @@ def make_smc_step_exchange_fused_chunked(
     traffic (1/chunk per step) against resampling granularity.
     """
 
-    def step(carry, ys_and_valid):
-        ys, n_valid = ys_and_valid           # (C,), int32
+    t_aware = model.fused_chunk_exchange_t_batch is not None
+
+    def step(carry, xs):
+        if t_aware:
+            ys, n_valid, t0 = xs             # (C,), int32, int32
+        else:
+            ys, n_valid = xs                 # (C,), int32
         key, states, log_w, log_z, ess, cat_w, lme = carry
         key, k_res, k_prop = jax.random.split(key, 3)
 
@@ -347,12 +356,20 @@ def make_smc_step_exchange_fused_chunked(
         ticks = jax.lax.cummax(ticks)[:-1]
         log_z_r = log_z + jnp.where(do_resample, lme, 0.0)
 
-        new_states, new_log_w, new_ess, new_cat_w, new_lme = (
-            model.fused_chunk_exchange_batch(
-                k_prop, states, log_w, ys, n_valid,
-                do_resample.astype(jnp.int32), ticks,
+        if t_aware:
+            new_states, new_log_w, new_ess, new_cat_w, new_lme = (
+                model.fused_chunk_exchange_t_batch(
+                    k_prop, states, log_w, ys, n_valid,
+                    do_resample.astype(jnp.int32), ticks, t0,
+                )
             )
-        )
+        else:
+            new_states, new_log_w, new_ess, new_cat_w, new_lme = (
+                model.fused_chunk_exchange_batch(
+                    k_prop, states, log_w, ys, n_valid,
+                    do_resample.astype(jnp.int32), ticks,
+                )
+            )
         return (
             (key, new_states, new_log_w, log_z_r, new_ess, new_cat_w, new_lme),
             (do_resample,),
@@ -453,7 +470,8 @@ def build_smc_run(
     chunk_exchange = (
         chunk > 1
         and exchange_ok
-        and model.fused_chunk_exchange_batch is not None
+        and (model.fused_chunk_exchange_batch is not None
+             or model.fused_chunk_exchange_t_batch is not None)
     )
     chunk_sorted = (
         chunk > 1
@@ -495,8 +513,14 @@ def build_smc_run(
             carry0 = (
                 key, states0, log_w0, jnp.zeros(()), ess0, cat_w0, lme0
             )
+            if model.fused_chunk_exchange_t_batch is not None:
+                t0s = (1 + chunk * jnp.arange(
+                    ys_chunks.shape[0], dtype=jnp.int32))
+                xs = (ys_chunks, valid, t0s)
+            else:
+                xs = (ys_chunks, valid)
             (key_f, states_f, log_w_f, log_z, _e, _cw, lme_f), ys = (
-                jax.lax.scan(step, carry0, (ys_chunks, valid))
+                jax.lax.scan(step, carry0, xs)
             )
             log_z = log_z + lme_f
             resampled = jnp.concatenate(
@@ -538,8 +562,14 @@ def build_smc_run(
                 key, states0, log_w0, jnp.zeros(()), _ess(log_w0),
                 cat_w0, _log_mean_exp(log_w0),
             )
+            if model.fused_chunk_exchange_t_batch is not None:
+                t0s = (1 + chunk * jnp.arange(
+                    ys_chunks.shape[0], dtype=jnp.int32))
+                xs = (ys_chunks, valid, t0s)
+            else:
+                xs = (ys_chunks, valid)
             (key_f, states_f, log_w_f, log_z, _e, _cw, lme_f), ys = (
-                jax.lax.scan(step, carry0, (ys_chunks, valid))
+                jax.lax.scan(step, carry0, xs)
             )
             log_z = log_z + lme_f
             resampled = jnp.concatenate(

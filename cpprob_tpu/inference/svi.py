@@ -26,13 +26,16 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .potential import FlatModel, flatten_model
 
 __all__ = ["SVIResult", "svi"]
 
-_HALF_LOG_2PI_E = 0.5 * (1.0 + jnp.log(2 * jnp.pi))
+# python float, NOT jnp: importing the library must never initialize a
+# JAX backend (jax.distributed.initialize runs after import in workers)
+_HALF_LOG_2PI_E = 0.5 * (1.0 + float(np.log(2.0 * np.pi)))
 
 
 class SVIResult(NamedTuple):

@@ -1244,6 +1244,193 @@ def _make_guided_discrete_chunk_kernel(trans, means, stds, params, T: int,
     return kernel
 
 
+def _make_guided_discrete_chunk_kernel_mxu(layer_dims, K, trans, means,
+                                           stds, T: int, n_steps: int,
+                                           block_r: int, hw_prng: bool):
+    """MXU formulation of the guided discrete chunk kernel (VERDICT r5
+    item 1, discrete sibling of
+    :func:`_make_guided_scalar_chunk_kernel_mxu`).
+
+    The categorical proposal net runs as matmuls over the particle tile
+    viewed as (1, N): the one-hot state block becomes a (K, N) compare
+    stack contracted with the first-layer state table on the MXU, hidden
+    and logit layers are ``dot_general`` calls, and softmax + inverse-CDF
+    sampling walk the K logit rows as (1, N) slices.  The transition RN
+    keeps the exact-f32 K^2 select walk (bf16-truncating the log-
+    transition table through a dot would bias log-weights by ~1e-2);
+    sample and log q share the computed logits, so the RN weight stays
+    exact under the MXU's bf16 operand truncation."""
+    n_layers = len(layer_dims) - 1
+    N = block_r * _LANES
+    log_trans = np.log(np.maximum(np.asarray(trans, np.float64), 1e-38))
+    means = np.asarray(means, np.float64)
+    stds = np.asarray(stds, np.float64)
+    inv2var = (0.5 / stds**2).astype(np.float64)
+    lognorm = (-np.log(stds) - _HALF_LOG_2PI).astype(np.float64)
+
+    def kernel(seed_ref, ys_ref, ctrl_ref, *refs):
+        state_tab_ref = refs[0]                  # (H1, K) transposed table
+        first_ref = refs[1]                      # (H1, 8): w_y|w_t|b
+        wT_refs = refs[2:1 + n_layers]           # (H_out, H_in) per layer
+        b_refs = refs[1 + n_layers:2 * n_layers]  # (H_out, 1)
+        states_ref, logw_ref, out_s_ref, out_w_ref, part_ref = \
+            refs[2 * n_layers:]
+        i = pl.program_id(0)
+        if hw_prng:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527))
+        flag = ctrl_ref[0] > 0
+        n_valid = ctrl_ref[K]
+        t0 = ctrl_ref[K + 1]
+        w_y = first_ref[:, 0:1]
+        w_t = first_ref[:, 1:2]
+        b_1 = first_ref[:, 2:3]
+        rowid = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, states_ref.shape, 1)
+        j = (i * states_ref.shape[0] + rowid) * _LANES + lane
+        synth = jnp.zeros(states_ref.shape, jnp.float32)
+        for k in range(K - 1):
+            synth = synth + (j >= ctrl_ref[1 + k]).astype(jnp.float32)
+        s = jnp.where(flag, synth, states_ref[:].astype(jnp.float32))
+        w = jnp.where(flag, 0.0, logw_ref[:])
+
+        dims = (((1,), (0,)), ((), ()))
+        bits32 = None
+        for t in range(n_steps):
+            if hw_prng:
+                if t % 2 == 0:
+                    bits32 = pltpu.bitcast(
+                        pltpu.prng_random_bits(states_ref.shape), jnp.int32
+                    )
+                u = _uniform16(bits32, t)
+            else:
+                u = jnp.zeros(states_ref.shape, jnp.float32)
+            y = ys_ref[t]
+            tf = (t0 + t).astype(jnp.float32) / float(T)
+
+            s_flat = s.reshape(1, N)
+            u_flat = u.reshape(1, N)
+            oh = jnp.concatenate(
+                [(s_flat == float(k)).astype(jnp.float32)
+                 for k in range(K)], axis=0)              # (K, N)
+            c1 = w_y * y + w_t * tf + b_1                 # (H1, 1)
+            acts = jnp.maximum(
+                jax.lax.dot_general(
+                    state_tab_ref[:], oh, dims,
+                    preferred_element_type=jnp.float32,
+                ) + c1, 0.0)                              # (H1, N)
+            for li in range(1, n_layers):
+                pre = jax.lax.dot_general(
+                    wT_refs[li - 1][:], acts, dims,
+                    preferred_element_type=jnp.float32,
+                ) + b_refs[li - 1][:]
+                acts = pre if li == n_layers - 1 else jnp.maximum(pre, 0.0)
+            logits = acts                                 # (K, N)
+
+            m = logits[0:1]
+            for k in range(1, K):
+                m = jnp.maximum(m, logits[k:k + 1])
+            es = jnp.exp(logits - m)                      # (K, N)
+            ssum = es[0:1]
+            for k in range(1, K):
+                ssum = ssum + es[k:k + 1]
+            target = u_flat * ssum
+            cum = es[0:1]
+            ns_flat = jnp.zeros_like(s_flat)
+            for k in range(K - 1):
+                ns_flat = ns_flat + (target >= cum).astype(jnp.float32)
+                if k < K - 2:
+                    cum = cum + es[k + 1:k + 2]
+
+            # select the proposal logit + per-step scalar emission density
+            # through shared ns masks; the transition RN stays the exact
+            # K^2 where-walk on the (R, 128) tiles (assembling lp from the
+            # one-hot keeps more (1, N) planes live and blows the 16 MB
+            # scoped-vmem stack at block_r=256 — measured 34.9 MB)
+            sel_logit = jnp.zeros_like(s_flat)
+            g_flat = jnp.zeros_like(s_flat)
+            for k in range(K):
+                mask = (ns_flat == float(k)).astype(jnp.float32)
+                sel_logit = sel_logit + mask * logits[k:k + 1]
+                d = y - float(means[k])
+                g_k = -(d * d) * float(inv2var[k]) + float(lognorm[k])
+                g_flat = g_flat + mask * g_k
+            lq_flat = sel_logit - m - jnp.log(ssum)
+            ns = ns_flat.reshape(states_ref.shape)
+            lp = jnp.full_like(s, float(log_trans[K - 1, K - 1]))
+            for a in range(K):
+                for b in range(K):
+                    if a == K - 1 and b == K - 1:
+                        continue
+                    lp = jnp.where(
+                        (s == float(a)) & (ns == float(b)),
+                        float(log_trans[a, b]), lp,
+                    )
+            nw = w + lp + (g_flat - lq_flat).reshape(states_ref.shape)
+
+            valid = t < n_valid
+            s = jnp.where(valid, ns, s)
+            w = jnp.where(valid, nw, w)
+
+        out_s_ref[:] = s.astype(jnp.int32)
+        out_w_ref[:] = w
+        _emit_partials(part_ref, w, s, K)
+
+    return kernel
+
+
+def _guided_discrete_mxu_call(params_np, K, kernel, n, block_r,
+                              interpret, seed, ys, ctrl, states, log_w):
+    """pallas_call plumbing for the MXU guided discrete kernel: SMEM
+    scalars, state table + packed first-layer scalars + per-layer weight
+    operands, then the gridded particle tiles."""
+    Ws, bs = params_np
+    r = n // _LANES
+    n_blocks = r // block_r
+    H1 = Ws[0].shape[1]
+    state_tab = jnp.asarray(Ws[0][:K].T)                 # (H1, K)
+    first = np.zeros((H1, 8), np.float32)
+    first[:, 0] = Ws[0][K]
+    first[:, 1] = Ws[0][K + 1]
+    first[:, 2] = bs[0]
+    weight_ops = [state_tab, jnp.asarray(first)]
+    weight_specs = [
+        pl.BlockSpec((H1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for W in Ws[1:]:
+        wT = jnp.asarray(W.T.astype(np.float32))
+        weight_ops.append(wT)
+        weight_specs.append(
+            pl.BlockSpec(wT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+    for b in bs[1:]:
+        col = jnp.asarray(b.astype(np.float32).reshape(-1, 1))
+        weight_ops.append(col)
+        weight_specs.append(
+            pl.BlockSpec(col.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+    vmem = lambda: pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    out_s, out_w, partials = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + weight_specs + [vmem(), vmem()],
+        out_specs=[
+            vmem(), vmem(),
+            pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, ys, ctrl, *weight_ops, states, log_w)
+    return out_s, out_w, partials
+
+
 def attach_fused_guided_discrete_kernels(
     trans,
     means,
@@ -1254,6 +1441,7 @@ def attach_fused_guided_discrete_kernels(
     T: int,
     block_r: int = _BLOCK_R,
     interpret: bool = False,
+    mxu: bool = True,
 ):
     """Build a guided K-state HMM :class:`StateSpaceModel` whose per-step
     categorical proposal (a net trained by
@@ -1293,6 +1481,14 @@ def attach_fused_guided_discrete_kernels(
     )
 
     kernels: dict = {}
+    Ws = [np.asarray(layer["w"], np.float64) for layer in params]
+    bs_np = [np.asarray(layer["b"], np.float64) for layer in params]
+    layer_dims = [Ws[0].shape[0]] + [W.shape[1] for W in Ws]
+    use_mxu = mxu and len(Ws) >= 2
+    params_np = (
+        [W.astype(np.float32) for W in Ws],
+        [b.astype(np.float32) for b in bs_np],
+    )
 
     def chunk_call(seed, states, log_w, ys, n_valid, flag, ticks, t0,
                    n_steps):
@@ -1300,10 +1496,16 @@ def attach_fused_guided_discrete_kernels(
         r = n // _LANES
         fn = kernels.get(n_steps)
         if fn is None:
-            fn = _make_guided_discrete_chunk_kernel(
-                trans, means, stds, params, T, n_steps,
-                hw_prng=not interpret,
-            )
+            if use_mxu:
+                fn = _make_guided_discrete_chunk_kernel_mxu(
+                    layer_dims, K, trans, means, stds, T, n_steps,
+                    block_r, hw_prng=not interpret,
+                )
+            else:
+                fn = _make_guided_discrete_chunk_kernel(
+                    trans, means, stds, params, T, n_steps,
+                    hw_prng=not interpret,
+                )
             kernels[n_steps] = fn
         ctrl = jnp.concatenate([
             jnp.asarray(flag, jnp.int32).reshape(1),
@@ -1311,20 +1513,35 @@ def attach_fused_guided_discrete_kernels(
             jnp.asarray(n_valid, jnp.int32).reshape(1),
             jnp.asarray(t0, jnp.int32).reshape(1),
         ])
-        out_s, out_w, partials = _pallas_population_call(
-            fn, n, block_r, 3, jnp.int32, interpret,
+        call_args = (
             jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(ys, jnp.float32).reshape(n_steps),
             ctrl,
             states.reshape(r, _LANES),
             log_w.reshape(r, _LANES),
         )
+        if use_mxu:
+            out_s, out_w, partials = _guided_discrete_mxu_call(
+                params_np, K, fn, n, block_r, interpret, *call_args
+            )
+        else:
+            out_s, out_w, partials = _pallas_population_call(
+                fn, n, block_r, 3, jnp.int32, interpret, *call_args
+            )
         ess, cat_w, lme = stats_from_partials_k(partials, n, K)
         return out_s.reshape(n), out_w.reshape(n), ess, cat_w, lme
 
-    # engine hooks: per-step exchange signatures (t is an argument there,
-    # which the proposal features need; the chunked exchange driver does
-    # not thread absolute time)
+    # engine hooks: per-step exchange signatures plus the t-aware CHUNKED
+    # exchange hook (r5: build_smc_run threads t0 through the chunk scan,
+    # so the guided kernel runs chunk-fused like the unguided one — the
+    # 16-launches-per-sweep overhead was the dominant guided-discrete cost)
+    def fused_chunk_exchange_t(key, states, log_w, ys, n_valid, flag,
+                               ticks, t0):
+        return chunk_call(
+            _key_to_seed(key), states, log_w, ys, n_valid, flag, ticks,
+            jnp.asarray(t0, jnp.int32), ys.shape[0],
+        )
+
     def fused_step_exchange(key, states, log_w, y, t, flag, ticks):
         return chunk_call(
             _key_to_seed(key), states, log_w,
@@ -1366,6 +1583,7 @@ def attach_fused_guided_discrete_kernels(
         fused_step_exchange_batch=fused_step_exchange,
         fused_step_ess_batch=fused_step_ess,
         fused_chunk_exchange_batch=None,
+        fused_chunk_exchange_t_batch=fused_chunk_exchange_t,
         fused_hooks_guided=True,
         # prior init + t=0 emission stays the unguided fused init
     )

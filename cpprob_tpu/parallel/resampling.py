@@ -290,11 +290,20 @@ def balanced_systematic_resample(
         i = jnp.arange(n_local, dtype=jnp.int32)
 
         def assemble(prod, rl, rr):
-            # own contribution: produced row r = (base + i) - t_lo
-            own_r = jnp.clip(base + i - t_lo, 0, cap - 1)
+            # own contribution: produced rows are CONTIGUOUS in slot order,
+            # so my slots are the shifted slice starting at (base - t_lo) —
+            # a dynamic_slice instead of an n_local-row gather (r5; the
+            # fits check guarantees |base - t_lo| <= bound, so slicing the
+            # bound-padded buffer never clamps)
             own_ok = (base + i >= t_lo) & (base + i < t_hi)
             expand = (slice(None),) + (None,) * (prod.ndim - 1)
-            out = jnp.where(own_ok[expand], prod[own_r], jnp.zeros_like(
+            padded = jnp.concatenate(
+                [jnp.zeros((bound,) + prod.shape[1:], prod.dtype), prod]
+            )
+            own = jax.lax.dynamic_slice_in_dim(
+                padded, base - t_lo + bound, n_local
+            )
+            out = jnp.where(own_ok[expand], own, jnp.zeros_like(
                 prod, shape=(n_local,) + prod.shape[1:]))
             # neighbor contributions: scatter by slot index (each slot has a
             # unique producer, so no collisions; invalid rows scatter to the

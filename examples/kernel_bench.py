@@ -280,21 +280,38 @@ def main():
           f"logZ {np.mean(glzs):.4f} vs exact {exact5:.4f}", file=sys.stderr)
 
     # --- 3. resample epoch: streaming kernel vs XLA sorted-fill ------------
+    # SWEEPS epochs scanned inside one jitted call, chained through a
+    # scalar perturbation so XLA cannot hoist the work — isolates device
+    # time from the ~24 ms remote-tunnel dispatch latency (the r4 artifact
+    # included one dispatch per epoch)
     log_w = jax.random.normal(jax.random.key(1), (N,)) * 2.0
     vals = jax.random.normal(jax.random.key(2), (N,))
-    f_stream = jax.jit(lambda u: _streaming_resample(u, log_w, vals))
-    f_sorted = jax.jit(
-        lambda k: sorted_systematic_resample_values(k, log_w, vals)
+
+    def epoch_scan(fn):
+        @jax.jit
+        def g(u0):
+            def body(c, i):
+                r = fn(u0 + c * 1e-30 + i * 1e-6)
+                return r[0] + r[-1], None
+            out, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(SWEEPS, dtype=jnp.float32))
+            return out
+        return g
+
+    f_stream = epoch_scan(lambda u: _streaming_resample(u, log_w, vals))
+    f_sorted = epoch_scan(
+        lambda u: sorted_systematic_resample_values(
+            jax.random.key(jnp.asarray(u * 1e6, jnp.int32)), log_w, vals)
     )
 
     def gos(key):
-        _ = np.asarray(f_stream(jax.random.uniform(key, ()))[:4])
+        _ = float(np.asarray(f_stream(jax.random.uniform(key, ()))))
 
     def gox(key):
-        _ = np.asarray(f_sorted(key)[:4])
+        _ = float(np.asarray(f_sorted(jax.random.uniform(key, ()))))
 
-    t_stream = timed(gos, 200, iters=4, st=st, label="epoch_stream")
-    t_sorted = timed(gox, 300, iters=4, st=st, label="epoch_sorted")
+    t_stream = timed(gos, 200, iters=4, st=st, label="epoch_stream") / SWEEPS
+    t_sorted = timed(gox, 300, iters=4, st=st, label="epoch_sorted") / SWEEPS
     out["resample_epoch"] = {
         "streaming_pallas_s": t_stream,
         "xla_sorted_fill_s": t_sorted,
