@@ -173,7 +173,7 @@ def ring_systematic_resample(
 
 def balanced_systematic_resample(
     u0: jax.Array, log_w_local: jax.Array, states_local, axis_name: str,
-    bound: int | None = None,
+    bound: int | None = None, fallback: str = "ring",
 ):
     """Exact global systematic resampling with **O(bound) communication** —
     the pod-viable exact scheme for continuous (scalar or vector) states.
@@ -323,6 +323,13 @@ def balanced_systematic_resample(
         return ring_systematic_resample(u0, log_w_local, states_local,
                                         axis_name)
 
+    if fallback == "none":
+        # no exact-ring fallback compiled in: callers that size ``bound``
+        # for their weight regime skip the fallback branch entirely (also
+        # used to extract the scheme's true on-wire bytes from the
+        # compiled HLO — the cond's untaken ring branch would otherwise
+        # pollute the collective-op count)
+        return balanced_path(None)
     return jax.lax.cond(fits, balanced_path, ring_path, operand=None)
 
 

@@ -1,4 +1,4 @@
-"""Collective-scheme communication characterization -> SCALING_r04.json.
+"""Collective-scheme communication characterization -> SCALING_r05.json.
 
 The virtual-CPU-mesh weak-scaling numbers (SCALING_r02.json) bound overhead
 but cannot predict real-ICI behavior: the 2 shared host cores serialize what
@@ -100,6 +100,77 @@ def analytic_models(n_local: int, k: int, epochs: float, state_bytes: int = 4):
     }
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2,
+                "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+
+def hlo_comm_bytes(scheme: str, n_local: int, mesh):
+    """On-wire bytes per shard per epoch, extracted from the compiled HLO
+    (VERDICT r5 item 5: replace the hand comm model's inputs with what the
+    compiler actually emits).
+
+    Compiles ONE resample epoch of ``scheme`` under ``shard_map`` at the
+    given per-shard population, then sums the result shapes of every
+    collective op.  The balanced scheme compiles with ``fallback='none'``
+    so the untaken exact-ring branch does not pollute the count."""
+    import re
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cpprob_tpu.parallel import resampling as R
+
+    k = mesh.devices.size
+
+    def fn(u0, lw, st):
+        if scheme == "balanced":
+            return R.balanced_systematic_resample(
+                u0, lw, st, "particles", fallback="none")
+        if scheme == "collective":
+            return R.ring_systematic_resample(u0, lw, st, "particles")
+        raise ValueError(scheme)
+
+    wrapped = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P("particles"), P("particles")),
+            out_specs=P("particles"),
+        )
+    )
+    n = n_local * k
+    txt = wrapped.lower(
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+    ).compile().as_text()
+
+    out = {}
+    total_bytes = 0
+    for op in ("collective-permute", "all-gather", "all-reduce",
+               "all-to-all", "reduce-scatter"):
+        op_bytes = 0
+        count = 0
+        # result can be a single array or a tuple of arrays
+        for m in re.finditer(
+            r"= (?:\(([^)]*)\)|(\w+\[[\d,]*\])[^ ]*) " + op + r"(?:-start)?\(",
+            txt,
+        ):
+            shapes = m.group(1) or m.group(2)
+            count += 1
+            for sm in re.finditer(r"(\w+)\[([\d,]*)\]", shapes):
+                dt, dims = sm.group(1), sm.group(2)
+                size = _DTYPE_BYTES.get(dt, 4)
+                for d in dims.split(","):
+                    if d:
+                        size *= int(d)
+                op_bytes += size
+        if count:
+            out[op] = {"ops": count, "result_bytes_per_shard": op_bytes}
+            total_bytes += op_bytes
+    out["total_collective_result_bytes_per_shard"] = total_bytes
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device", type=int, default=1 << 14)
@@ -191,8 +262,34 @@ def main():
             assert abs(row["log_evidence"] - float(np.asarray(kal_ll))) < 0.3, (
                 scheme, row)
 
-    # --- analytic: bytes + predicted 2-host efficiency --------------------
+    # --- HLO-derived on-wire bytes (r5: replaces the hand model's byte
+    # inputs for the two data-moving schemes) ------------------------------
+    mesh8 = particle_mesh(devices=devices[: min(8, len(devices))])
+    hlo_comm = {}
+    for scheme in ("collective", "balanced"):
+        hlo_comm[scheme] = hlo_comm_bytes(scheme, N_LOCAL, mesh8)
+        print(f"HLO comm [{scheme}] at n_local=2^{int(np.log2(N_LOCAL))}: "
+              f"{hlo_comm[scheme]}", file=sys.stderr)
+
+    # --- analytic structure + predicted 2-host efficiency, byte inputs
+    # from the compiled HLO where available --------------------------------
     models = analytic_models(N_LOCAL, CHIPS, epochs)
+    for scheme, key in (("collective_ring", "collective"),
+                        ("balanced", "balanced")):
+        hb = hlo_comm[key]
+        cp = hb.get("collective-permute", {})
+        models[scheme]["hlo_collective_ops"] = hb
+        models[scheme]["bytes_egress_per_shard_per_epoch"] = cp.get(
+            "result_bytes_per_shard",
+            models[scheme]["bytes_egress_per_shard_per_epoch"],
+        )
+        epoch_time = (
+            models[scheme]["bytes_egress_per_shard_per_epoch"] / ICI_BW
+            + sum(v["ops"] for k2, v in hb.items() if isinstance(v, dict))
+            * HOP_LAT
+        )
+        models[scheme]["epoch_time_s"] = epoch_time
+        models[scheme]["per_sweep_comm_s"] = epochs * epoch_time
     predictions = {}
     for scheme, m in models.items():
         comm = m["per_sweep_comm_s"]
@@ -258,7 +355,7 @@ def main():
             "at >=99.8%; the ring stays as the any-imbalance fallback."
         ),
     }
-    path = args.out or os.path.join(repo, "SCALING_r04.json")
+    path = args.out or os.path.join(repo, "SCALING_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
