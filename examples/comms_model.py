@@ -262,6 +262,52 @@ def main():
             assert abs(row["log_evidence"] - float(np.asarray(kal_ll))) < 0.3, (
                 scheme, row)
 
+    # --- measured: the epoch ALONE, balanced vs ring, same mesh + inputs —
+    # the full-sweep comparison above is dominated by 2-shared-host-core
+    # noise (sub-3% deltas flip run to run); the isolated epoch is the
+    # apples-to-apples measurement of the two schemes' actual work --------
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from cpprob_tpu.parallel import resampling as RES
+
+    def epoch_only(scheme, n_local_epoch, iters=7):
+        mesh = particle_mesh(devices=devices[: min(8, len(devices))])
+        k = mesh.devices.size
+
+        def fn(u0, lw, st):
+            if scheme == "balanced":
+                return RES.balanced_systematic_resample(
+                    u0, lw, st, "particles")
+            return RES.ring_systematic_resample(u0, lw, st, "particles")
+
+        f = jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P("particles"), P("particles")),
+            out_specs=P("particles"),
+        ))
+        n = n_local_epoch * k
+        rng2 = np.random.RandomState(5)
+        lw = jnp.asarray(rng2.randn(n).astype(np.float32))
+        st = jnp.asarray(rng2.randn(n).astype(np.float32))
+        f(jnp.float32(0.4), lw, st).block_until_ready()
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            f(jnp.float32(0.3 + 0.01 * i), lw, st).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    n_local_epoch = 1 << 19
+    epoch_meas = {
+        s: epoch_only(s, n_local_epoch) for s in ("collective", "balanced")
+    }
+    print(f"epoch-only at n_local=2^19, 8 devices: "
+          f"ring {epoch_meas['collective']*1e3:.0f} ms vs balanced "
+          f"{epoch_meas['balanced']*1e3:.0f} ms", file=sys.stderr)
+    assert epoch_meas["balanced"] < epoch_meas["collective"], epoch_meas
+
     # --- HLO-derived on-wire bytes (r5: replaces the hand model's byte
     # inputs for the two data-moving schemes) ------------------------------
     mesh8 = particle_mesh(devices=devices[: min(8, len(devices))])
@@ -331,6 +377,18 @@ def main():
             "epoch_counts_by_seed": chunk_counts,
             "virtual_mesh": virtual,
             "virtual_mesh_continuous_lg": virtual_cont,
+            "virtual_mesh_epoch_only": {
+                "n_local": n_local_epoch,
+                "devices": 8,
+                "ring_epoch_s": epoch_meas["collective"],
+                "balanced_epoch_s": epoch_meas["balanced"],
+                "balanced_speedup": (epoch_meas["collective"]
+                                     / epoch_meas["balanced"]),
+                "note": "isolated resample epoch, identical mesh/inputs — "
+                        "the apples-to-apples scheme comparison the noisy "
+                        "full-sweep rows cannot give (asserted balanced < "
+                        "ring at build time)",
+            },
             "virtual_mesh_note": "2 shared host cores — efficiencies are "
                                  "lower bounds on collective overhead, not "
                                  "parallel speedup (see SCALING_r02.json); "
