@@ -258,7 +258,7 @@ def main():
     g5 = attach_fused_guided_discrete_kernels(
         TRANS5, MEANS5, STDS5, INIT5, params=dparams, T=T,
     )
-    rung5_one = build_smc_run(g5, N, store_history=False)
+    rung5_one = build_smc_run(g5, N, chunk=8, store_history=False)
     rung5 = jax.jit(make_multi_sweep(rung5_one, ys5))
     glzs = []
 

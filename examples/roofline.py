@@ -57,7 +57,7 @@ def _scan_call(f, x, sweeps):
     return g
 
 
-def calibrate_vpu(rows=1 << 15, block_r=1024, chain=512, sweeps=16):
+def calibrate_vpu(rows=1 << 15, block_r=1024, chain=2048, sweeps=8):
     """Achievable f32 VPU FLOPs: an 8-way independent FMA chain mix (each
     chain step is a full-block vector op, so ILP comes from the 16+ vregs
     per op, not the chain count)."""
@@ -83,7 +83,7 @@ def calibrate_vpu(rows=1 << 15, block_r=1024, chain=512, sweeps=16):
     return rows * LANES * chain * 2 / dt
 
 
-def calibrate_mxu(m=512, k=512, n=512, par=4, reps=16, sweeps=8):
+def calibrate_mxu(m=512, k=512, n=512, par=8, reps=48, sweeps=8):
     """Achievable MXU MACs: ``par`` independent chains of square dots
     (operands truncate to bf16 under Mosaic DEFAULT precision — the same
     mode the guided kernels' dots use)."""
@@ -148,7 +148,7 @@ def calibrate_hbm(block_r=1024, sweeps=16):
     return bw, max(fixed, 0.0)
 
 
-def calibrate_prng(rows=1 << 14, block_r=1024, draws=256, sweeps=8):
+def calibrate_prng(rows=1 << 14, block_r=1024, draws=512, sweeps=8):
     """Hardware-PRNG Box-Muller normal variates/s (u16-pair construction,
     the construction the fused kernels use)."""
 
@@ -179,7 +179,7 @@ def calibrate_prng(rows=1 << 14, block_r=1024, draws=256, sweeps=8):
     return rows * LANES * draws / dt
 
 
-def calibrate_transcendental(rows=1 << 14, block_r=1024, chain=256,
+def calibrate_transcendental(rows=1 << 14, block_r=1024, chain=1024,
                              sweeps=8):
     """exp+log1p pair throughput (the stable-softplus/log-q mix of the
     guided kernels); single-transcendental peak ~ 2x this."""

@@ -196,9 +196,22 @@ def main():
                  else rows[ch]["by_tolerance"][si]["guided_channel_correct"])
                 for ch in range(4)
             )
+            err_by_ch = [
+                (rows[ch]["by_tolerance"][si]["defensive_variants"][key_l]
+                 ["guided_momentum_abs_err"] if lam is not None
+                 else rows[ch]["by_tolerance"][si]
+                 ["guided_momentum_abs_err"])
+                for ch in range(4)
+            ]
             cand = {"abc_temper": s, "defensive": lam,
                     "min_channel_ess_ratio": min_ratio,
-                    "all_channels_correct": correct}
+                    "all_channels_correct": correct,
+                    # accuracy column BESIDE the quoted ratio (VERDICT r5
+                    # item 7): the tempered posterior the proposal wins on
+                    # is flatter than the temper-1 target, and the quoted
+                    # win must carry that cost visibly
+                    "guided_momentum_abs_err_by_channel": err_by_ch,
+                    "max_channel_momentum_abs_err": max(err_by_ch)}
             if best is None or (
                 (correct, min_ratio)
                 > (best["all_channels_correct"],
@@ -206,6 +219,46 @@ def main():
             ):
                 best = cand
     print(f"operating point: {best}")
+
+    # --- the accuracy-vs-temper tradeoff, one row per temperature: best
+    # defensive by worst-channel ess ratio, with the worst-channel guided
+    # and prior momentum errors beside it — and the temper=1 row called
+    # out explicitly (the reference's exact-counting-variance target)
+    tradeoff = []
+    for si, s in enumerate(tol_scales):
+        best_s = None
+        for lam in defensives:
+            key_l = str(lam)
+
+            def get(ch, field):
+                bt = rows[ch]["by_tolerance"][si]
+                return (bt["defensive_variants"][key_l][field]
+                        if lam is not None else bt[field])
+
+            min_ratio = min(get(ch, "ess_ratio") for ch in range(4))
+            if best_s is None or min_ratio > best_s["min_channel_ess_ratio"]:
+                best_s = {
+                    "abc_temper": s,
+                    "best_defensive": lam,
+                    "min_channel_ess_ratio": min_ratio,
+                    "max_channel_guided_momentum_abs_err": max(
+                        get(ch, "guided_momentum_abs_err")
+                        for ch in range(4)),
+                    "max_channel_prior_momentum_abs_err": max(
+                        rows[ch]["by_tolerance"][si]
+                        ["prior_momentum_abs_err"] for ch in range(4)),
+                    "all_channels_correct": all(
+                        get(ch, "guided_channel_correct")
+                        for ch in range(4)),
+                }
+        tradeoff.append(best_s)
+    untempered = tradeoff[0]
+    print("tradeoff (best defensive per temper):")
+    for row in tradeoff:
+        print(f"  temper {row['abc_temper']:>6}: min ratio "
+              f"{row['min_channel_ess_ratio']:.2f} guided |dp| "
+              f"{row['max_channel_guided_momentum_abs_err']:.3f} prior "
+              f"|dp| {row['max_channel_prior_momentum_abs_err']:.3f}")
     if not args.quick:
         # the r3 demand: guided beats the prior's ESS on ALL FOUR channels
         # at one documented (temper, defensive) operating point
@@ -226,6 +279,18 @@ def main():
                   "loss_last": float(np.asarray(losses)[-10:].mean())},
         "channel_recovery": rows,
         "operating_point": best,
+        "accuracy_vs_temper_tradeoff": tradeoff,
+        "untempered_point": {
+            **untempered,
+            "note": "abc_temper=1 is the reference's exact-counting-"
+                    "variance target: the amortized proposal matches the "
+                    "posterior mean tightly there (see "
+                    "max_channel_guided_momentum_abs_err) but its ESS "
+                    "advantage over the prior vanishes — both degenerate "
+                    "at the 25k-voxel log-likelihood spread.  The "
+                    "tempered operating point trades momentum sharpness "
+                    "for the ESS win; this table is the price list.",
+        },
         "defensives_swept": [str(d) for d in defensives],
         "abc_tempers": tol_scales,
         "abc_note": "abc_temper divides the ABC log-kernel (power "
