@@ -240,10 +240,45 @@ def main():
                     timed_infer(n_inf, jax.random.key(1000 + i))
                     ts.append(time.perf_counter() - t0)
             dt = float(np.median(ts))
+            # device-only rate: 8 serving calls scanned inside ONE jitted
+            # dispatch, so the ~24 ms (+-10 ms run-to-run) remote-tunnel
+            # round trip amortizes away — the per-dispatch numbers above
+            # carry that variance (the r3-vs-r4 670k-vs-579k delta is one
+            # tunnel RTT on a ~100 ms single-dispatch measurement)
+            scanned = None
+            if dev != "cpu" and eng_u._infer_cache:
+                fn_cached = next(
+                    v for v in eng_u._infer_cache.values() if v is not None
+                )
+                import jax.numpy as _jnp
+
+                @jax.jit
+                def serve8(params, key):
+                    def body(c, k):
+                        r = fn_cached(params, (obs,), k)
+                        return c + r.log_weights[0], None
+                    out, _ = jax.lax.scan(
+                        body, _jnp.float32(0), jax.random.split(key, 8))
+                    return out
+
+                float(np.asarray(serve8(params_u, jax.random.key(7))))
+                ts8 = []
+                for i in range(5):
+                    t0 = time.perf_counter()
+                    float(np.asarray(serve8(params_u,
+                                            jax.random.key(2000 + i))))
+                    ts8.append(time.perf_counter() - t0)
+                dt8 = float(np.median(ts8)) / 8
+                scanned = {
+                    "median_s_per_call": dt8,
+                    "guided_traces_per_sec_device": n_inf / dt8,
+                }
             guided_infer = {
                 "n_particles": n_inf,
                 "median_s": dt,
+                "per_dispatch_times_s": [round(t, 4) for t in ts],
                 "guided_traces_per_sec": n_inf / dt,
+                "scanned_8x": scanned,
                 "compile_s": guided_compile_s,
                 "device": dev or str(jax.devices()[0]),
                 "engine": "unrolled per-site, cached jitted program",
