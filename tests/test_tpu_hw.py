@@ -221,3 +221,112 @@ def test_guided_csis_serving_on_chip():
 
     assert ess(res_g) > 1.5 * ess(res_p)
     assert abs(float(res_g.mean("Mean")) - 2.32353) < 0.1
+
+
+def test_island_interior_resampling_evidence():
+    """Whole-sweep fusion with chunk-interior island ESS resampling (r5):
+    logZ must match the exact forward recursion within MC error, the
+    interior triggers must actually fire, and the estimate must agree
+    with the boundary-checked chunk=8 configuration."""
+    from cpprob_tpu.inference.smc import build_smc_run
+    from cpprob_tpu.models.hmm import HMM_MEANS, HMM_TRANS
+    from cpprob_tpu.ops.pallas_hmm import (
+        _key_to_seed,
+        make_pallas_hmm_ssm,
+        pallas_hmm_fused_chunk,
+    )
+    from cpprob_tpu.ops.pallas_ssm import discrete_hmm_log_evidence
+
+    T, n = 16, 1 << 20
+    ys = _simulate(HMM_TRANS, HMM_MEANS, np.ones(3), np.full(3, 1 / 3), T,
+                   seed=3)
+    exact = discrete_hmm_log_evidence(
+        HMM_TRANS, HMM_MEANS, np.ones(3), np.full(3, 1 / 3), ys)
+
+    model = make_pallas_hmm_ssm(island_every=4)
+    run = build_smc_run(model, n, chunk=T, store_history=False)
+
+    @jax.jit
+    def multi(key):
+        keys = jax.random.split(key, 8)
+
+        def body(_, k):
+            return None, run(k, ys).log_evidence
+        _, lz = jax.lax.scan(body, None, keys)
+        return lz
+
+    lzs = np.asarray(multi(jax.random.key(0)))
+    assert abs(lzs.mean() - exact) < 4 * lzs.std(ddof=1) / np.sqrt(8) + 0.02, (
+        lzs.mean(), exact)
+
+    # boundary-checked chunk=8 reference on the same observations
+    model8 = make_pallas_hmm_ssm()
+    run8 = build_smc_run(model8, n, chunk=8, store_history=False)
+    lz8 = np.asarray(jax.jit(
+        lambda k: run8(k, ys).log_evidence)(jax.random.key(5)))
+    assert abs(lzs.mean() - float(lz8)) < 0.05
+
+    # the interior trigger must actually fire (partials slot 6)
+    s0, w0, _, cat_w0, _ = model.fused_init_batch(
+        jax.random.key(1), n, ys[0])
+    cum = jnp.cumsum(cat_w0)[:2]
+    ticks = jnp.clip(jnp.ceil(n * cum - 0.3), 0, n).astype(jnp.int32)
+    *_, parts = pallas_hmm_fused_chunk(
+        _key_to_seed(jax.random.key(2)), s0, w0, ys[1:], jnp.int32(T - 1),
+        jnp.int32(1), ticks, n_steps=T - 1, island_every=4,
+        return_partials=True,
+    )
+    fires = np.asarray(parts)[::8, 6]
+    assert fires.min() >= 1.0, fires
+
+
+def test_guided_scalar_mxu_matches_vpu_statistically():
+    """The MXU formulation of the guided scalar kernel (bf16 dot operands)
+    must produce the same posterior evidence as the exact-f32 elementwise
+    formulation within MC error — the RN weight stays exact because sample
+    and density share the computed (mean, std)."""
+    from cpprob_tpu.inference import nn
+    from cpprob_tpu.inference.smc import build_smc_run
+    from cpprob_tpu.models.linear_gaussian import (
+        kalman_filter_1d,
+        linear_gaussian_ssm,
+    )
+    from cpprob_tpu.ops.pallas_ssm import attach_fused_guided_scalar_kernels
+
+    H = 0.9189385332046727
+    T, n = 16, 1 << 18
+    params = nn.mlp_init(jax.random.key(4), [3, 16, 16, 2])
+    ys = jnp.asarray(np.cumsum(np.random.RandomState(9).randn(T))
+                     .astype(np.float32))
+    _, _, kal = kalman_filter_1d(ys)
+
+    def trans_lp(x, nx, t):
+        d = nx - x
+        return -0.5 * d * d - H
+
+    def obs_lp(nx, y, t):
+        d = y - nx
+        return -0.5 * d * d - H
+
+    out = {}
+    for label, mxu in (("mxu", True), ("vpu", False)):
+        ssm = attach_fused_guided_scalar_kernels(
+            linear_gaussian_ssm, params, T,
+            trans_logpdf_elem=trans_lp, obs_logpdf_elem=obs_lp, mxu=mxu)
+        run = build_smc_run(ssm, n, chunk=8, store_history=False)
+
+        @jax.jit
+        def multi(key, run=run):
+            keys = jax.random.split(key, 8)
+
+            def body(_, k):
+                return None, run(k, ys).log_evidence
+            _, lz = jax.lax.scan(body, None, keys)
+            return lz
+
+        out[label] = np.asarray(multi(jax.random.key(11)))
+    se = np.hypot(out["mxu"].std(ddof=1), out["vpu"].std(ddof=1)) / np.sqrt(8)
+    assert abs(out["mxu"].mean() - out["vpu"].mean()) < 4 * se + 0.05, out
+    # both unbiased for the exact evidence
+    assert abs(out["mxu"].mean() - float(np.asarray(kal))) < 0.1, (
+        out["mxu"].mean(), float(np.asarray(kal)))
