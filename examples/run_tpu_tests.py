@@ -4,7 +4,7 @@ against the real attached TPU, and record the pass as a committed round
 artifact (VERDICT r3 item 6 — "run the TPU-only test subset on the chip and
 record it").
 
-Usage: python examples/run_tpu_tests.py [--out TPU_TEST_r04.json]
+Usage: python examples/run_tpu_tests.py [--out TPU_TEST_r05.json]
 """
 
 import argparse
@@ -20,7 +20,7 @@ FILES = ["tests/test_pallas.py", "tests/test_tpu_hw.py"]
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "TPU_TEST_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "TPU_TEST_r05.json"))
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
 
