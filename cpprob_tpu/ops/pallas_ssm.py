@@ -168,13 +168,22 @@ def _make_discrete_chunk_kernel(
     stds: np.ndarray,
     n_steps: int,
     hw_prng: bool,
+    island_every: int = 0,
+    island_thresh: float = 0.5,
 ):
     """Generate the fused multi-step kernel for a K-state Gaussian-emission
     HMM: per chunk, one HBM read+write of (state, log_w); per step, one
     16-bit hardware uniform, K-1 transition-CDF Horner evaluations, the
     emission reweight, and masked ragged-tail handling; chunk-start exchange
     resample from ctrl ticks; streaming (max, Σe, Σe², per-category Σe)
-    partials for the next boundary."""
+    partials for the next boundary.
+
+    ``island_every`` > 0: chunk-INTERIOR adaptive resampling — every that
+    many steps each VMEM block checks its own ESS and exchange-resamples
+    itself in VMEM on collapse (the island-at-the-memory-hierarchy scheme
+    of ``pallas_hmm._make_chunk_kernel_island``, generalized to any user
+    K-state spec).  Weights reset to the block log-mean, preserving the
+    global evidence estimator unchanged."""
     K = trans.shape[0]
     cdf = np.cumsum(np.asarray(trans, np.float64), axis=1)  # (K, K)
     cdf_lookups = [_make_table_lookup(cdf[:, k]) for k in range(K - 1)]
@@ -231,6 +240,44 @@ def _make_discrete_chunk_kernel(
             valid = t < n_valid
             s = jnp.where(valid, ns, s)
             w = jnp.where(valid, nw, w)
+
+            if island_every and (t + 1) % island_every == 0 \
+                    and t < n_steps - 1:
+                n_blk = float(block_r * _LANES)
+                m_blk = jnp.max(w)
+                e = jnp.exp(w - m_blk)
+                se = jnp.sum(e)
+                se2 = jnp.sum(e * e)
+                collapse = (
+                    (se * se < island_thresh * n_blk * se2)
+                    & ((t + 1) < n_valid)
+                )
+                # block-local category weights + systematic ticks
+                cws = [jnp.sum(jnp.where(s == float(k), e, 0.0))
+                       for k in range(K - 1)]
+                if hw_prng:
+                    ub = pltpu.bitcast(
+                        pltpu.prng_random_bits((8, _LANES)), jnp.int32)
+                    pr = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+                    pc = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+                    u16 = jax.lax.bitwise_and(
+                        ub, jnp.int32(0xFFFF)
+                    ).astype(jnp.float32) * (1.0 / 65536.0)
+                    u0 = jnp.max(jnp.where((pr == 0) & (pc == 0), u16, 0.0))
+                else:
+                    u0 = jnp.float32(0.5)
+                j_local = (rowid * _LANES + lane).astype(jnp.float32)
+                synth_l = jnp.zeros(states_ref.shape, jnp.float32)
+                cum = jnp.float32(0.0)
+                for k in range(K - 1):
+                    cum = cum + cws[k]
+                    tick = jnp.clip(
+                        jnp.ceil(n_blk * (cum / se) - u0), 0.0, n_blk)
+                    synth_l = synth_l + (j_local >= tick).astype(
+                        jnp.float32)
+                lme_b = m_blk + jnp.log(se) - jnp.log(n_blk)
+                s = jnp.where(collapse, synth_l, s)
+                w = jnp.where(collapse, lme_b, w)
 
         out_s_ref[:] = s.astype(jnp.int32)
         out_w_ref[:] = w
@@ -307,10 +354,12 @@ def _pallas_population_call(kernel, n: int, block_r: int, n_scalar_inputs: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec_key", "n_steps", "block_r", "interpret"),
+    static_argnames=("spec_key", "n_steps", "block_r", "interpret",
+                     "island_every", "island_thresh"),
 )
 def _discrete_chunk(seed, states, log_w, ys, n_valid, flag, ticks, *,
-                    spec_key, n_steps, block_r, interpret):
+                    spec_key, n_steps, block_r, interpret,
+                    island_every=0, island_thresh=0.5):
     trans, means, stds, _ = _SPECS[spec_key]
     K = trans.shape[0]
     n = states.shape[0]
@@ -322,7 +371,9 @@ def _discrete_chunk(seed, states, log_w, ys, n_valid, flag, ticks, *,
     ])
     out_s, out_w, partials = _pallas_population_call(
         _make_discrete_chunk_kernel(trans, means, stds, n_steps,
-                                    hw_prng=not interpret),
+                                    hw_prng=not interpret,
+                                    island_every=island_every,
+                                    island_thresh=island_thresh),
         n, block_r, 3, jnp.int32, interpret,
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(ys, jnp.float32).reshape(n_steps),
@@ -373,6 +424,8 @@ def make_fused_discrete_ssm(
     *,
     block_r: int = _BLOCK_R,
     interpret: bool = False,
+    island_every: int = 0,
+    island_thresh: float = 0.5,
 ):
     """Build a complete :class:`StateSpaceModel` for a K-state HMM with
     Gaussian emissions ``y_t ~ N(means[z_t], stds[z_t])`` — XLA reference
@@ -384,6 +437,14 @@ def make_fused_discrete_ssm(
 
     >>> ssm = make_fused_discrete_ssm(trans5, means5, stds5)
     >>> run = build_smc_run(ssm, 1 << 24, chunk=8)
+
+    ``island_every`` > 0 adds chunk-INTERIOR per-VMEM-block ESS checks with
+    in-block exchange resampling (see ``_make_discrete_chunk_kernel``), so
+    whole-sweep fusion (``chunk=T``) keeps the adaptive trigger live —
+    the r5 headline configuration, available for any user spec:
+
+    >>> ssm = make_fused_discrete_ssm(trans5, means5, stds5, island_every=8)
+    >>> run = build_smc_run(ssm, 1 << 24, chunk=T)
     """
     from ..inference.smc import StateSpaceModel
 
@@ -425,7 +486,8 @@ def make_fused_discrete_ssm(
         return _discrete_chunk(
             _key_to_seed(key), states, log_w, ys, n_valid, flag, ticks,
             spec_key=spec_key, n_steps=ys.shape[0], block_r=block_r,
-            interpret=interpret,
+            interpret=interpret, island_every=island_every,
+            island_thresh=island_thresh,
         )
 
     def fused_step_exchange(key, states, log_w, y, t, flag, ticks):
