@@ -43,11 +43,11 @@ epoch speedup).
 Pass 2 has three implementations:
 
 - ``scatter`` (default, r5): scatter+prefix — each while-iteration
-  scatters a BATCH of 8 input groups into a per-tile (128,128) delta
+  scatters a BATCH of _SCATTER_G input groups into a per-tile (128,128)
   array with one position-exact MXU contraction, and the tile pays a
   single 2-D Hillis-Steele prefix at the end (the prefix telescopes, so
   partial sums stay bounded by the state range — tighter than ``fast``
-  AND 2.1x faster: 23.4 ms vs 48 ms at 2^24 measured on v5e, epoch
+  AND 2.2x faster: 21.9 ms vs 48 ms at 2^24 measured on v5e, epoch
   total).  DMA windows are double-buffered (parity-flip on refetch), so
   the r4 single-window anti-dependency hazard cannot occur.
 - ``fast`` (r4): tile-at-once fill — each while-iteration applies one

@@ -1308,7 +1308,9 @@ def _make_guided_discrete_chunk_kernel(trans, means, stds, params, T: int,
 
 def _make_guided_discrete_chunk_kernel_mxu(layer_dims, K, trans, means,
                                            stds, T: int, n_steps: int,
-                                           block_r: int, hw_prng: bool):
+                                           block_r: int, hw_prng: bool,
+                                           island_every: int = 0,
+                                           island_thresh: float = 0.5):
     """MXU formulation of the guided discrete chunk kernel (VERDICT r5
     item 1, discrete sibling of
     :func:`_make_guided_scalar_chunk_kernel_mxu`).
@@ -1433,6 +1435,54 @@ def _make_guided_discrete_chunk_kernel_mxu(layer_dims, K, trans, means,
             s = jnp.where(valid, ns, s)
             w = jnp.where(valid, nw, w)
 
+            if island_every and (t + 1) % island_every == 0 \
+                    and t < n_steps - 1:
+                # chunk-interior per-block island exchange resample (see
+                # _make_discrete_chunk_kernel) — the guided whole-sweep
+                # configuration keeps its ESS trigger live in VMEM
+                block_r_k = states_ref.shape[0]
+                n_blk = float(block_r_k * _LANES)
+                m_blk = jnp.max(w)
+                e_w = jnp.exp(w - m_blk)
+                se = jnp.sum(e_w)
+                se2 = jnp.sum(e_w * e_w)
+                collapse = (
+                    (se * se < island_thresh * n_blk * se2)
+                    & ((t + 1) < n_valid)
+                )
+                cws = [jnp.sum(jnp.where(s == float(k), e_w, 0.0))
+                       for k in range(K - 1)]
+                if hw_prng:
+                    ub = pltpu.bitcast(
+                        pltpu.prng_random_bits((8, _LANES)), jnp.int32)
+                    pr = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, _LANES), 0)
+                    pc = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, _LANES), 1)
+                    u16 = jax.lax.bitwise_and(
+                        ub, jnp.int32(0xFFFF)
+                    ).astype(jnp.float32) * (1.0 / 65536.0)
+                    u0_b = jnp.max(
+                        jnp.where((pr == 0) & (pc == 0), u16, 0.0))
+                else:
+                    u0_b = jnp.float32(0.5)
+                rowid_l = jax.lax.broadcasted_iota(
+                    jnp.int32, states_ref.shape, 0)
+                lane_l = jax.lax.broadcasted_iota(
+                    jnp.int32, states_ref.shape, 1)
+                j_local = (rowid_l * _LANES + lane_l).astype(jnp.float32)
+                synth_l = jnp.zeros(states_ref.shape, jnp.float32)
+                cum_w = jnp.float32(0.0)
+                for k in range(K - 1):
+                    cum_w = cum_w + cws[k]
+                    tick = jnp.clip(
+                        jnp.ceil(n_blk * (cum_w / se) - u0_b), 0.0, n_blk)
+                    synth_l = synth_l + (j_local >= tick).astype(
+                        jnp.float32)
+                lme_b = m_blk + jnp.log(se) - jnp.log(n_blk)
+                s = jnp.where(collapse, synth_l, s)
+                w = jnp.where(collapse, lme_b, w)
+
         out_s_ref[:] = s.astype(jnp.int32)
         out_w_ref[:] = w
         _emit_partials(part_ref, w, s, K)
@@ -1504,6 +1554,8 @@ def attach_fused_guided_discrete_kernels(
     block_r: int = _BLOCK_R,
     interpret: bool = False,
     mxu: bool = True,
+    island_every: int = 0,
+    island_thresh: float = 0.5,
 ):
     """Build a guided K-state HMM :class:`StateSpaceModel` whose per-step
     categorical proposal (a net trained by
@@ -1562,6 +1614,8 @@ def attach_fused_guided_discrete_kernels(
                 fn = _make_guided_discrete_chunk_kernel_mxu(
                     layer_dims, K, trans, means, stds, T, n_steps,
                     block_r, hw_prng=not interpret,
+                    island_every=island_every,
+                    island_thresh=island_thresh,
                 )
             else:
                 fn = _make_guided_discrete_chunk_kernel(

@@ -577,3 +577,54 @@ class TestSpecIslandInterior:
         assert float(ess) == n
         assert abs(w.max() - w.min()) < 1e-5
         assert w.max() < 0.0
+
+
+class TestGuidedDiscreteIsland:
+    """island_every on the guided discrete kernel: correctness gates (the
+    measured configuration is a wash vs chunk=8 — the VMEM-stack-driven
+    block_r=128 requirement eats the launch savings — but the capability
+    must stay correct)."""
+
+    def _net(self):
+        from cpprob_tpu.inference import nn
+
+        return nn.mlp_init(jax.random.key(3), [4, 8, 8, 2])
+
+    def test_off_matches_plain_bitwise(self):
+        trans = np.array([[0.8, 0.2], [0.3, 0.7]])
+        params = self._net()
+        kw = dict(params=params, T=8, block_r=8, interpret=True)
+        base = attach_fused_guided_discrete_kernels(
+            trans, [-1.0, 1.0], [1.0, 1.0], [0.5, 0.5], **kw)
+        isl = attach_fused_guided_discrete_kernels(
+            trans, [-1.0, 1.0], [1.0, 1.0], [0.5, 0.5],
+            island_every=4, island_thresh=0.0, **kw)
+        n = 8 * 128
+        states = jnp.zeros((n,), jnp.int32)
+        log_w = jnp.zeros((n,), jnp.float32)
+        ys = jnp.asarray(np.linspace(-1, 1, 8), jnp.float32)
+        args = (jax.random.key(0), states, log_w, ys, jnp.int32(8),
+                jnp.int32(0), jnp.zeros((1,), jnp.int32), jnp.int32(0))
+        b = base.fused_chunk_exchange_t_batch(*args)
+        o = isl.fused_chunk_exchange_t_batch(*args)
+        np.testing.assert_array_equal(np.asarray(b[0]), np.asarray(o[0]))
+        np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(o[1]))
+
+    def test_forced_trigger_resets_block(self):
+        trans = np.array([[0.8, 0.2], [0.3, 0.7]])
+        params = self._net()
+        isl = attach_fused_guided_discrete_kernels(
+            trans, [-1.0, 1.0], [1.0, 1.0], [0.5, 0.5],
+            params=params, T=8, block_r=8, interpret=True,
+            island_every=4, island_thresh=2.0)
+        n = 8 * 128
+        states = jnp.zeros((n,), jnp.int32)
+        log_w = jnp.zeros((n,), jnp.float32)
+        ys = jnp.asarray(np.linspace(-1, 1, 8), jnp.float32)
+        s, w, ess, cat_w, lme = isl.fused_chunk_exchange_t_batch(
+            jax.random.key(0), states, log_w, ys, jnp.int32(8),
+            jnp.int32(0), jnp.zeros((1,), jnp.int32), jnp.int32(0))
+        w = np.asarray(w)
+        assert np.isfinite(w).all()
+        assert float(ess) == n
+        assert abs(w.max() - w.min()) < 1e-5
