@@ -314,3 +314,26 @@ def test_mixture_prior_gets_mdn_head(key):
     assert abs(float(res.mean("Z")) - true_mean) < 0.08
     res_p = ct.sis(m, (y_obs,), 20_000, key)
     assert float(res.ess) > 2.0 * float(res_p.ess)
+
+
+class TestInferMany:
+    def test_batched_serving_matches_single(self, key):
+        """infer_many scans B queries in one dispatch; each row must equal
+        the single-query infer() for the same key (same cached program
+        semantics), and posterior estimates must hit the oracle."""
+        from cpprob_tpu.models import gaussian_unknown_mean_readme
+
+        eng = CSIS(gaussian_unknown_mean_readme, (0.0, 0.0))
+        params, _ = eng.compile(jax.random.key(0), steps=120, batch_size=32)
+        keys = jax.random.split(jax.random.key(9), 4)
+        many = eng.infer_many(params, (3.0, 4.0), 2000, keys)
+        assert many.log_weights.shape == (4, 2000)
+        single = eng.infer(params, (3.0, 4.0), 2000, keys[2])
+        np.testing.assert_allclose(
+            np.asarray(many.log_weights[2]), np.asarray(single.log_weights),
+            rtol=1e-5)
+        means = []
+        for b in range(4):
+            w = jax.nn.softmax(many.log_weights[b])
+            means.append(float(jnp.sum(w * many.predicts["Mean"][b])))
+        assert abs(np.mean(means) - 2.32353) < 0.15
