@@ -397,6 +397,7 @@ def main():
                                  "filter at every mesh size",
         },
         "predicted_2host": predictions,
+        "versions": __import__("cpprob_tpu.util.profiling", fromlist=["env_versions"]).env_versions(),
         "conclusion": (
             "The balanced scheme closes the r3 exact-continuous gap "
             "(SCALING_r03: ring at 3.8 GB/shard/epoch -> 12.3% predicted "

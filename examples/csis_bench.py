@@ -296,6 +296,7 @@ def main():
             traceback.print_exc()
 
     out = {
+        "versions": __import__("cpprob_tpu.util.profiling", fromlist=["env_versions"]).env_versions(),
         "experiment": "thesis_hmm_csis_vs_sis",
         "reference": "doc/compiled_inference.pdf ch. 6.3 figs. 6.6-6.7 "
                      "(CSIS ~10x lower sum-L2/sum-KL than SIS, 10^1..10^4 "

@@ -39,6 +39,7 @@ def main():
     )
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     out = {
+        "versions": __import__("cpprob_tpu.util.profiling", fromlist=["env_versions"]).env_versions(),
         "artifact": "TPU-hardware test subset (make tpu-test)",
         "files": FILES,
         "device": device,

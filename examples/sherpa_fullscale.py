@@ -300,6 +300,7 @@ def main():
                     "where the 25k-voxel spread degenerates BOTH proposals "
                     "to ESS~1 (see models/sherpa.py docstring)",
         "guided_channel_correct_count_at_temper1": wins,
+        "versions": __import__("cpprob_tpu.util.profiling", fromlist=["env_versions"]).env_versions(),
     }
     if args.out:
         with open(args.out, "w") as f:
