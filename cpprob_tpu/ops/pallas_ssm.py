@@ -187,15 +187,64 @@ def _make_discrete_chunk_kernel(
     K = trans.shape[0]
     cdf = np.cumsum(np.asarray(trans, np.float64), axis=1)  # (K, K)
     cdf_lookups = [_make_table_lookup(cdf[:, k]) for k in range(K - 1)]
-    mean_lookup = _make_table_lookup(np.asarray(means, np.float64))
+    means = np.asarray(means, np.float64)
     stds = np.asarray(stds, np.float64)
-    uniform_std = np.allclose(stds, stds[0])
-    if uniform_std:
-        inv2var = 0.5 / float(stds[0]) ** 2
-        lognorm = -float(np.log(stds[0])) - _HALF_LOG_2PI
-    else:
-        inv2var_lookup = _make_table_lookup(0.5 / stds**2)
-        lognorm_lookup = _make_table_lookup(-np.log(stds) - _HALF_LOG_2PI)
+    inv2var_np = 0.5 / stds**2
+    lognorm_np = -np.log(stds) - _HALF_LOG_2PI
+
+    # Emission as ONE per-step lookup (r5): for fixed y the K emission
+    # log-densities are K SCALARS g_k = -(y-mu_k)^2 * inv2var_k +
+    # lognorm_k, computable with ~3K scalar ops per step; interpolating
+    # them over s' with the constant Vandermonde inverse gives degree-
+    # (K-1) coefficients c = Vinv @ g as traced scalars (K^2 more scalar
+    # FMAs), so the per-PARTICLE cost drops from three table lookups
+    # (~12 vector FMAs) to one K-1-FMA Horner.  Accuracy guard: the
+    # f32 Horner with in-kernel-solved coefficients is validated at build
+    # time on a y-grid spanning the emission range; out of tolerance
+    # (large K — same Vandermonde conditioning wall as the static
+    # lookups), fall back to a K-way select over the g_k scalars
+    # (K vector ops, still cheaper than three lookups).
+    vinv = np.linalg.inv(np.vander(np.arange(K, dtype=np.float64),
+                                   increasing=True))
+
+    def _emission_scalars(y):
+        # traced scalar arithmetic (Mosaic scalar unit — off the VPU)
+        return [(-((y - float(means[k])) ** 2) * float(inv2var_np[k])
+                 + float(lognorm_np[k])) for k in range(K)]
+
+    def _emission_poly_ok():
+        # emulate the f32 pipeline on a grid of plausible observations
+        ys_grid = np.linspace(means.min() - 4 * stds.max(),
+                              means.max() + 4 * stds.max(), 33)
+        for y in ys_grid:
+            g = np.array([-(y - means[k]) ** 2 * inv2var_np[k]
+                          + lognorm_np[k] for k in range(K)])
+            c = (vinv.astype(np.float32) @ g.astype(np.float32)).astype(
+                np.float32)
+            nodes = np.arange(K, dtype=np.float32)
+            acc = np.full(K, c[-1], np.float32)
+            for cc in c[-2::-1]:
+                acc = (acc * nodes + cc).astype(np.float32)
+            scale = max(1.0, float(np.max(np.abs(g))))
+            if float(np.max(np.abs(acc - g))) > 3e-5 * scale:
+                return False
+        return True
+
+    emission_poly = _emission_poly_ok()
+
+    def emission_logpdf(s_tile, y):
+        g = _emission_scalars(y)
+        if emission_poly:
+            c = [sum(float(vinv[i, j]) * g[j] for j in range(K))
+                 for i in range(K)]
+            acc = jnp.full_like(s_tile, 0.0) + c[K - 1]
+            for i in range(K - 2, -1, -1):
+                acc = acc * s_tile + c[i]
+            return acc
+        acc = jnp.full_like(s_tile, 0.0) + g[K - 1]
+        for k in range(K - 2, -1, -1):
+            acc = jnp.where(s_tile == float(k), g[k], acc)
+        return acc
 
     def kernel(seed_ref, ys_ref, ctrl_ref, states_ref, logw_ref,
                out_s_ref, out_w_ref, part_ref):
@@ -229,14 +278,7 @@ def _make_discrete_chunk_kernel(
             for k in range(K - 1):
                 ns = ns + (u >= cdf_lookups[k](s)).astype(jnp.float32)
             y = ys_ref[t]
-            d = y - mean_lookup(ns)
-            if uniform_std:
-                nw = w + (-(d * d) * inv2var + lognorm)
-            else:
-                nw = w + (
-                    -(d * d) * inv2var_lookup(ns)
-                    + lognorm_lookup(ns)
-                )
+            nw = w + emission_logpdf(ns, y)
             valid = t < n_valid
             s = jnp.where(valid, ns, s)
             w = jnp.where(valid, nw, w)
